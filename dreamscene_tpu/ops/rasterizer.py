@@ -1,0 +1,169 @@
+"""Differentiable 3D Gaussian splat rasterizer — public API.
+
+TPU-native equivalent of `comp-diff-gaussian-rasterization`'s
+`GaussianRasterizer(settings)(means3D, means2D, shs, colors_precomp,
+opacities, scales, rotations, cov3D_precomp)` contract (reference call
+sites: scene_gaussian.py:586-599, 861-870, 637-648; SURVEY.md §2.9.1):
+
+  render(...) -> {image [3,H,W], depth [H,W], alpha [H,W], radii [N],
+                  important_score [N], t_final [H,W], n_dropped}
+
+Differences by design (TPU-first):
+  * N is a static capacity; inactive slots are masked via `valid_mask`.
+  * The screen-space mean gradient used for densification is harvested via
+    an explicit zero-valued `means2d_probe` input (its cotangent is exactly
+    d(loss)/d(mean2d)) instead of torch's retain_grad dummy.
+  * `important_score` (score_flag=True variant) is always available — the
+    forward kernel emits per-entry blend weights for free.
+
+Pipeline: project (jnp, autodiff) -> bin (int plumbing, stop-grad)
+-> gather records (jnp, autodiff scatters grads back) -> Pallas composite
+(hand-derived VJP) -> image assembly (jnp, autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dreamscene_tpu.ops.binning import TILE, TILE_PIX, bin_splats, cdiv
+from dreamscene_tpu.ops.composite import (
+    ACC_ROWS,
+    REC_WIDTH,
+    composite_backward,
+    composite_forward,
+)
+from dreamscene_tpu.ops.projection import project_gaussians
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _composite(records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
+               n_tiles, chunk, interpret):
+    out, scores = composite_forward(
+        records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
+        n_tiles=n_tiles, chunk=chunk, interpret=interpret,
+    )
+    return out, scores
+
+
+def _composite_fwd(records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
+                   n_tiles, chunk, interpret):
+    out, scores = composite_forward(
+        records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
+        n_tiles=n_tiles, chunk=chunk, interpret=interpret,
+    )
+    return (out, scores), (records, tile_x0, tile_y0, first_chunk,
+                           tile_of_chunk, out)
+
+
+def _composite_bwd(n_tiles, chunk, interpret, res, cots):
+    records, tile_x0, tile_y0, first_chunk, tile_of_chunk, out = res
+    g_out, _g_scores = cots  # per-entry score cotangent is not propagated
+    grec = composite_backward(
+        records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
+        out, g_out, n_tiles=n_tiles, chunk=chunk, interpret=interpret,
+    )
+    return (grec, None, None, None, None)
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray | None,
+    viewmatrix: jnp.ndarray,
+    projmatrix: jnp.ndarray,
+    campos: jnp.ndarray,
+    tanfovx: float,
+    tanfovy: float,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    capacity: int | None = None,
+    chunk: int = 128,
+    valid_mask: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    means2d_probe: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> dict:
+    """Render N Gaussians to an RGB+depth+alpha image. See module docstring."""
+    n = means3d.shape[0]
+    if capacity is None:
+        capacity = max(4 * n, 1 << 15)
+    tiles_x = cdiv(width, TILE)
+    tiles_y = cdiv(height, TILE)
+    n_tiles = tiles_x * tiles_y
+
+    splats = project_gaussians(
+        means3d, scales, quats, opacities, shs,
+        viewmatrix, projmatrix, campos, tanfovx, tanfovy, width, height,
+        sh_degree=sh_degree, scale_modifier=scale_modifier,
+        colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
+        valid_mask=valid_mask,
+    )
+    means2d = splats.means2d
+    if means2d_probe is not None:
+        means2d = means2d + means2d_probe
+
+    binned = bin_splats(
+        means2d, splats.depths, splats.radii, splats.visible,
+        width, height, capacity=capacity, chunk=chunk,
+    )
+
+    # --- gather per-entry records (differentiable: grads scatter-add back)
+    rec_n = jnp.concatenate(
+        [
+            means2d,                                   # 0,1
+            splats.conics,                             # 2,3,4
+            splats.opacities[:, None],                 # 5
+            splats.colors,                             # 6,7,8
+            splats.depths[:, None],                    # 9
+            jnp.zeros((n, REC_WIDTH - 10), means2d.dtype),
+        ],
+        axis=1,
+    )
+    gid = binned.entry_gid
+    records = jnp.where(
+        (gid >= 0)[:, None], rec_n[jnp.maximum(gid, 0)], 0.0
+    ).astype(jnp.float32)
+
+    tiles_out, scores = _composite(
+        records, binned.tile_x0, binned.tile_y0, binned.first_chunk,
+        binned.tile_of_chunk, n_tiles, chunk, interpret,
+    )
+
+    # --- assemble images -------------------------------------------------
+    body = tiles_out[:n_tiles].reshape(tiles_y, tiles_x, ACC_ROWS, TILE, TILE)
+    full = body.transpose(2, 0, 3, 1, 4).reshape(
+        ACC_ROWS, tiles_y * TILE, tiles_x * TILE
+    )[:, :height, :width]
+    rgb_acc = full[0:3]
+    depth_acc = full[3]
+    t_final = full[4]
+    image = rgb_acc + t_final[None] * bg[:, None, None]
+
+    # --- per-splat importance (LightGaussian-style blend contribution) ---
+    scores_flat = jax.lax.stop_gradient(scores).reshape(-1)
+    important_score = jnp.zeros((n,), jnp.float32).at[jnp.maximum(gid, 0)].add(
+        jnp.where(gid >= 0, scores_flat, 0.0), mode="drop"
+    )
+
+    return {
+        "image": image,
+        "depth": depth_acc,
+        "alpha": 1.0 - t_final,
+        "t_final": t_final,
+        "radii": splats.radii,
+        "visibility_filter": splats.visible,
+        "important_score": important_score,
+        "n_dropped": binned.n_dropped,
+    }

@@ -1,0 +1,168 @@
+"""Rasterizer parity goldens (SURVEY.md §4b/c): the Pallas composite path
+(interpreter mode on CPU) must match the exact jnp reference renderer in
+both the forward images and the parameter gradients (autodiff through the
+reference vs hand-derived VJP through the Pallas kernels)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dreamscene_tpu.cameras import Camera
+from dreamscene_tpu.ops.reference import render_reference
+from dreamscene_tpu.ops.rasterizer import render
+
+
+def make_camera(width=64, height=64, radius=4.0, azim=0.3, elev=0.2):
+    fwd = -np.array(
+        [
+            math.cos(elev) * math.sin(azim),
+            math.sin(elev),
+            math.cos(elev) * math.cos(azim),
+        ]
+    )
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, fwd)
+    R = np.stack([right, true_up, -fwd], axis=1).astype(np.float32)
+    cam_pos = -fwd * radius
+    T = (-R.T @ cam_pos).astype(np.float32)
+    return Camera(
+        R=R, T=T, fovx=math.radians(50), fovy=math.radians(50),
+        width=width, height=height,
+    )
+
+
+def make_scene(n=400, seed=0, sh_degree=2):
+    rng = np.random.RandomState(seed)
+    k = (sh_degree + 1) ** 2
+    means = rng.randn(n, 3).astype(np.float32) * 0.8
+    scales = np.exp(rng.randn(n, 3).astype(np.float32) * 0.5 - 2.5)
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = 1.0 / (1.0 + np.exp(-rng.randn(n).astype(np.float32)))
+    shs = rng.randn(n, k, 3).astype(np.float32) * 0.3
+    shs[:, 0, :] += 0.8
+    return dict(
+        means3d=jnp.asarray(means),
+        scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats),
+        opacities=jnp.asarray(opac),
+        shs=jnp.asarray(shs),
+    )
+
+
+def camera_kwargs(cam):
+    return dict(
+        viewmatrix=jnp.asarray(cam.world_view_transform),
+        projmatrix=jnp.asarray(cam.full_proj_transform),
+        campos=jnp.asarray(cam.camera_center),
+        tanfovx=cam.tanfovx,
+        tanfovy=cam.tanfovy,
+        width=cam.width,
+        height=cam.height,
+    )
+
+
+BG = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_image_depth_alpha_match_reference(self, seed):
+        scene = make_scene(300, seed=seed)
+        cam = make_camera(64, 64)
+        kw = camera_kwargs(cam)
+        ref = render_reference(**scene, **kw, bg=BG, sh_degree=2)
+        got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True, chunk=128)
+        assert int(got["n_dropped"]) == 0
+        np.testing.assert_allclose(got["image"], ref["image"], atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(got["depth"], ref["depth"], atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(got["alpha"], ref["alpha"], atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(got["radii"], ref["radii"])
+
+    def test_importance_matches_reference(self):
+        scene = make_scene(200, seed=2)
+        cam = make_camera(48, 48)
+        kw = camera_kwargs(cam)
+        ref = render_reference(**scene, **kw, bg=BG, sh_degree=2)
+        got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
+        np.testing.assert_allclose(
+            got["important_score"], ref["important_score"], atol=1e-4, rtol=1e-3
+        )
+
+    def test_nonsquare_and_unaligned_size(self):
+        scene = make_scene(150, seed=3)
+        cam = make_camera(72, 40)  # not multiples of 16
+        kw = camera_kwargs(cam)
+        ref = render_reference(**scene, **kw, bg=BG, sh_degree=2)
+        got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
+        np.testing.assert_allclose(got["image"], ref["image"], atol=1e-5, rtol=1e-4)
+
+    def test_valid_mask_excludes_splats(self):
+        scene = make_scene(100, seed=4)
+        cam = make_camera(32, 32)
+        kw = camera_kwargs(cam)
+        mask = jnp.arange(100) < 50
+        ref = render_reference(**scene, **kw, bg=BG, sh_degree=2, valid_mask=mask)
+        got = render(**scene, **kw, bg=BG, sh_degree=2, valid_mask=mask, interpret=True)
+        np.testing.assert_allclose(got["image"], ref["image"], atol=1e-5, rtol=1e-4)
+        assert np.all(np.asarray(got["radii"][50:]) == 0)
+
+
+class TestBackwardParity:
+    def _loss_ref(self, scene, kw, target):
+        out = render_reference(**scene, **kw, bg=BG, sh_degree=2)
+        return (
+            jnp.mean((out["image"] - target) ** 2)
+            + 0.1 * jnp.mean(out["depth"])
+            + 0.05 * jnp.mean(out["alpha"])
+        )
+
+    def _loss_pallas(self, scene, kw, target):
+        out = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
+        return (
+            jnp.mean((out["image"] - target) ** 2)
+            + 0.1 * jnp.mean(out["depth"])
+            + 0.05 * jnp.mean(out["alpha"])
+        )
+
+    def test_param_grads_match_reference_autodiff(self):
+        scene = make_scene(250, seed=5)
+        cam = make_camera(48, 48)
+        kw = camera_kwargs(cam)
+        rng = np.random.RandomState(9)
+        target = jnp.asarray(rng.rand(3, 48, 48).astype(np.float32))
+
+        g_ref = jax.grad(lambda s: self._loss_ref(s, kw, target))(scene)
+        g_pal = jax.grad(lambda s: self._loss_pallas(s, kw, target))(scene)
+        for key in ["means3d", "scales", "quats", "opacities", "shs"]:
+            ref_g = np.asarray(g_ref[key])
+            pal_g = np.asarray(g_pal[key])
+            scale = np.abs(ref_g).max() + 1e-8
+            np.testing.assert_allclose(
+                pal_g / scale, ref_g / scale, atol=2e-4,
+                err_msg=f"gradient mismatch for {key}",
+            )
+
+    def test_means2d_probe_gradient(self):
+        """The screen-space mean gradient used for densification
+        (reference harvests it via a retain_grad dummy,
+        scene_gaussian.py:564-576)."""
+        scene = make_scene(120, seed=6)
+        cam = make_camera(32, 32)
+        kw = camera_kwargs(cam)
+        probe = jnp.zeros((120, 2), jnp.float32)
+
+        def loss(p):
+            out = render(
+                **scene, **kw, bg=BG, sh_degree=2, means2d_probe=p, interpret=True
+            )
+            return jnp.mean(out["image"] ** 2)
+
+        g = jax.grad(loss)(probe)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
