@@ -1,0 +1,104 @@
+"""Benchmark: fwd+bwd differentiable render throughput on real TPU.
+
+Measures the driver-defined primary metric (BASELINE.md): pixels/s through
+a full forward+backward of the Pallas rasterizer at 512x512 on a
+300K-splat scene, gradients taken w.r.t. every splat parameter.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against a nominal CUDA reference throughput of
+26.2 Mpix/s fwd+bwd (the ~100 FPS at 512^2 that Inria's
+diff-gaussian-rasterization reports on an A100-class GPU for ~300K
+splats; the DreamScene reference itself publishes no numbers —
+BASELINE.json "published": {}).
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_GAUSSIANS = 300_000
+WIDTH = HEIGHT = 512
+ITERS = 20
+CUDA_NOMINAL_PIXPS = 26.2e6
+
+
+def build_scene(n, seed=0, sh_degree=2):
+    rng = np.random.RandomState(seed)
+    import jax.numpy as jnp
+
+    k = (sh_degree + 1) ** 2
+    # indoor-like: box shell + interior clutter
+    n_shell = n // 2
+    shell = rng.uniform(-1, 1, (n_shell, 3))
+    axis = rng.randint(0, 3, n_shell)
+    sign = rng.randint(0, 2, n_shell) * 2 - 1
+    shell[np.arange(n_shell), axis] = sign
+    shell *= np.array([3.5, 2.5, 2.5])
+    interior = rng.randn(n - n_shell, 3) * 0.8
+    pts = np.concatenate([shell, interior]).astype(np.float32)
+
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    shs = (rng.randn(n, k, 3) * 0.2).astype(np.float32)
+    shs[:, 0] += 0.5
+    return dict(
+        means3d=jnp.asarray(pts),
+        scales=jnp.asarray(np.exp(rng.randn(n, 3) * 0.3 - 3.2).astype(np.float32)),
+        quats=jnp.asarray(quats),
+        opacities=jnp.asarray((1 / (1 + np.exp(-rng.randn(n)))).astype(np.float32)),
+        shs=jnp.asarray(shs),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _camera
+    from dreamscene_tpu.ops.rasterizer import render
+
+    scene = build_scene(N_GAUSSIANS)
+    cam = _camera(WIDTH, HEIGHT)
+    cam_arrays = dict(
+        viewmatrix=jnp.asarray(cam.world_view_transform),
+        projmatrix=jnp.asarray(cam.full_proj_transform),
+        campos=jnp.asarray(cam.camera_center),
+    )
+    capacity = 4 * N_GAUSSIANS
+
+    def loss_fn(params):
+        out = render(
+            **params, **cam_arrays,
+            tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            width=WIDTH, height=HEIGHT,
+            bg=jnp.zeros((3,), jnp.float32), sh_degree=2, capacity=capacity,
+        )
+        return (
+            jnp.mean(out["image"]) + 0.1 * jnp.mean(out["depth"])
+            + 0.01 * jnp.mean(out["alpha"])
+        )
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warmup / compile
+    loss, grads = step(scene)
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        loss, grads = step(scene)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    pix_ps = WIDTH * HEIGHT * ITERS / dt
+    print(json.dumps({
+        "metric": "pixels_per_s_fwd_bwd_512sq_300k_gaussians",
+        "value": round(pix_ps, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pix_ps / CUDA_NOMINAL_PIXPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

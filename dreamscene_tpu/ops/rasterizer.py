@@ -93,9 +93,15 @@ def render(
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     means2d_probe: jnp.ndarray | None = None,
+    pixel_offset_y: jnp.ndarray | int = 0,
     interpret: bool = False,
 ) -> dict:
-    """Render N Gaussians to an RGB+depth+alpha image. See module docstring."""
+    """Render N Gaussians to an RGB+depth+alpha image. See module docstring.
+
+    pixel_offset_y: screen-space y shift applied after projection — the
+    multi-chip tile-band path renders band b by shifting splats up by
+    b*band_height and rasterizing a short image (parallel/sharded_render).
+    """
     n = means3d.shape[0]
     if capacity is None:
         capacity = max(4 * n, 1 << 15)
@@ -113,6 +119,11 @@ def render(
     means2d = splats.means2d
     if means2d_probe is not None:
         means2d = means2d + means2d_probe
+    if not (isinstance(pixel_offset_y, int) and pixel_offset_y == 0):
+        means2d = means2d - jnp.stack(
+            [jnp.zeros_like(jnp.asarray(pixel_offset_y, jnp.float32)),
+             jnp.asarray(pixel_offset_y, jnp.float32)]
+        )
 
     binned = bin_splats(
         means2d, splats.depths, splats.radii, splats.visible,

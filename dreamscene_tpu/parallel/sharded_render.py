@@ -1,0 +1,147 @@
+"""Multi-chip sharded rendering + training step (SPMD over a Mesh).
+
+The reference has NO distributed runtime — its only "distribution" is
+placing the SD guidance on a second GPU (SURVEY.md §2 parallelism
+inventory; training/scene_trainer.py:27-34). The TPU build defines the
+parallelism itself (BASELINE.json north star): the scaling axes of 3DGS
+are #splats (N) and #pixels/tiles (H*W), so we shard:
+
+  * cameras over a data-parallel axis ("dp") — the C_batch=4 guidance
+    batch renders and its UNet ladder are embarrassingly parallel;
+  * image tile-rows over a tile axis ("tp") — each device projects the
+    (replicated) splat set, shifts screen coordinates into its band,
+    bins only its own tiles, and composites its band with the same Pallas
+    kernels used single-chip;
+  * parameter gradients are all-reduced over BOTH axes via the psum that
+    shard_map's autodiff inserts for replicated inputs — riding ICI.
+
+`make_sharded_render` returns a function whose forward and backward are
+fully SPMD; `make_sharded_train_step` wraps it into a complete FPS
+training step (render -> VAE encode -> UNet ladder -> CSD grad -> masked
+Adam) for the multi-chip dry-run and pod-scale training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dreamscene_tpu.models.gaussians import GaussianParams, adam_update
+from dreamscene_tpu.ops.rasterizer import render as raster_render
+
+
+def make_mesh(n_dp: int, n_tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_dp * n_tp, (len(devices), n_dp, n_tp)
+    import numpy as np
+
+    dev = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
+    return Mesh(dev, ("dp", "tp"))
+
+
+def _render_band(inputs, cam, width, band_h, y_offset, bg, sh_degree,
+                 capacity, chunk=128):
+    """Render one horizontal band of the image: shift projected y by the
+    band offset and rasterize a height-band_h image. The shift happens in
+    screen space *after* projection so per-splat math is identical across
+    bands (no seams — verified by test_parallel)."""
+    return raster_render(
+        means3d=inputs["means3d"], scales=inputs["scales"],
+        quats=inputs["quats"], opacities=inputs["opacities"],
+        shs=inputs["shs"], viewmatrix=cam["view"], projmatrix=cam["proj"],
+        campos=cam["campos"], tanfovx=cam["tanfovx"], tanfovy=cam["tanfovy"],
+        width=width, height=band_h, bg=bg, sh_degree=sh_degree,
+        capacity=capacity, valid_mask=inputs.get("valid_mask"),
+        means2d_probe=inputs.get("means2d_probe"),
+        pixel_offset_y=y_offset, chunk=chunk,
+    )
+
+
+def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
+                        capacity: int, chunk: int = 128):
+    """Returns render_fn(inputs, cam_stack, bg) -> images [B,3,H,W] with B
+    sharded over "dp" and H over "tp"."""
+    n_tp = mesh.shape["tp"]
+    assert height % n_tp == 0, (height, n_tp)
+    band_h = height // n_tp
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp")),
+        out_specs=(P("dp", None, "tp", None), P("dp", None, "tp", None)),
+        check_vma=False,
+    )
+    def render_fn(inputs, cam_stack, bg):
+        band = jax.lax.axis_index("tp") * band_h
+        b_local = cam_stack["view"].shape[0]
+        images, alphas = [], []
+        for i in range(b_local):
+            cam = jax.tree.map(lambda x, i=i: x[i], cam_stack)
+            out = _render_band(inputs, cam, width, band_h, band, bg[i],
+                               sh_degree, capacity, chunk)
+            images.append(out["image"])
+            alphas.append(out["alpha"][None])
+        return jnp.stack(images), jnp.stack(alphas)
+
+    return render_fn
+
+
+def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
+                            sh_degree: int, capacity: int, n_rungs: int = 1,
+                            guidance_scale: float = 7.5, chunk: int = 128):
+    """Full multi-chip FPS training step: sharded render -> dp-sharded
+    guidance ladder -> psum'd parameter grads -> masked Adam. The returned
+    function is jittable over the mesh."""
+    from dreamscene_tpu.guidance import mtsd
+
+    mods = guidance.mods
+    render_fn = make_sharded_render(mesh, width, height, sh_degree, capacity,
+                                    chunk)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(None, "dp"), P()),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    def ladder_grad(latents, noise, text_emb3, ts):
+        # text_emb3: [3, B_local, L, D] -> [3*B_local, L, D] keeping the
+        # cond | uncond | inverse block order the ladder expects
+        t = text_emb3.reshape((-1,) + text_emb3.shape[2:])
+        scores = mtsd.ladder_scores(mods, latents, noise, ts, t,
+                                    n_rungs=n_rungs)
+        return mtsd.csd_grad(mods, scores, guidance_scale)
+
+    @jax.jit
+    def train_step(params: GaussianParams, opt, active, cam_stack, bg,
+                   text_emb3, ladder_ts, noise, vae_key, lrs):
+        def loss_fn(params):
+            q = params.rotation
+            inputs = dict(
+                means3d=params.xyz,
+                scales=jnp.exp(params.scaling),
+                quats=q / jnp.linalg.norm(q, axis=-1, keepdims=True),
+                opacities=jax.nn.sigmoid(params.opacity[:, 0]),
+                shs=jnp.concatenate(
+                    [params.features_dc, params.features_rest], axis=1
+                ),
+                valid_mask=active,
+            )
+            images, alphas = render_fn(inputs, cam_stack, bg)
+            latents = mtsd.encode_images(mods, images, vae_key)
+            grad = jax.lax.stop_gradient(
+                ladder_grad(jax.lax.stop_gradient(latents), noise, text_emb3,
+                            ladder_ts)
+            )
+            return mtsd.specify_gradient_loss(latents, grad)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        new_params, new_opt = adam_update(params, grads, opt, active, lrs)
+        return new_params, new_opt, loss
+
+    return train_step

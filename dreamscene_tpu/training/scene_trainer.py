@@ -1,0 +1,848 @@
+"""Scene trainer: compositional text-to-3D scene optimization.
+
+TPU re-design of the reference SceneTrainer (reference:
+training/scene_trainer.py:20-1961). Orchestrates:
+  1. per-object FPS training (ObjectTrainer, skipping finished PLYs),
+  2. scene assembly (placement + env + floor; models/scene.py),
+  3. Stage-1 env optimization over pre-generated stage cameras,
+  4. Stage-2 floor optimization (camera mixes, re-tuned guidance ladder),
+  5. Stage-3 refinement with pseudo-GT recon (indoor "all" / outdoor
+     env+floor variants),
+  6. inference circle renders + final combined PLY.
+
+TPU-first differences:
+  * each per-step pipeline (multi-model scene render -> guidance ladder ->
+    grads -> per-model masked Adam) is ONE jitted program — no dual-GPU
+    `.to(g_device)` hops (reference scene_trainer.py:826-881);
+  * the concatenated render's per-model gradient slices replace
+    add_densification_stats_div tail-slicing (gs_renderer.py:1067-1080);
+  * checkpoints are numpy archives of the env/floor pytrees + stage counter
+    (reference: torch.save(capture()), scene_trainer.py:348-353).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dreamscene_tpu.cameras.scene_sampling import SceneCameraLoader
+from dreamscene_tpu.guidance import mtsd
+from dreamscene_tpu.models import densify as D
+from dreamscene_tpu.models.gaussians import (
+    GaussianAux,
+    GaussianState,
+    adam_init,
+    adam_update,
+    create_from_points,
+    group_lrs,
+    num_active,
+)
+from dreamscene_tpu.models.init import init_env_points, init_floor_points
+from dreamscene_tpu.models.ply import load_splat_ply, save_splat_ply
+from dreamscene_tpu.models.scene import (
+    ObjectArgs,
+    SceneModel,
+    final_combine_all,
+    place_object,
+)
+from dreamscene_tpu.training.object_trainer import (
+    ObjectTrainer,
+    assemble_text_embeddings,
+    scale_up_camera_ranges,
+)
+from dreamscene_tpu.utils.media import write_video
+
+logger = logging.getLogger("dreamscene_tpu")
+
+VD_DIRS = ["front", "side", "back", "overhead", "bottom"]
+VD_NEG = {
+    "front": "side view, back view, overhead view",
+    "side": "front view, back view, overhead view",
+    "back": "front view, side view, overhead view",
+    "overhead": "front view, back view, side view",
+    "bottom": "front view, back view, side view, overhead view",
+}
+
+
+def calc_scene_text_embeddings(guidance, ref_text, negative_text,
+                               cam_pose_method, opt_params):
+    """Scene-level embedding bank with indoor floor/ceiling and outdoor
+    ground/sky variants for overhead/bottom (reference:
+    scene_trainer.py:134-189)."""
+    e = {}
+    sp = opt_params.style_prompt
+    sn = opt_params.style_negative_prompt
+    e["default"] = guidance.get_text_embeds([f"{ref_text}, {sp}"])
+    e["uncond"] = guidance.get_text_embeds([f"{negative_text}, {sn}"])
+    e["inverse_text"] = guidance.get_text_embeds(
+        [guidance.guidance_opt.inverse_text]
+    )
+    e["text_embeddings_vd"] = {}
+    for d in VD_DIRS:
+        if cam_pose_method == "outdoor" and d == "overhead":
+            prompt = f"ground of {ref_text}, {sp}"
+        elif cam_pose_method == "outdoor" and d == "bottom":
+            prompt = f"sky of {ref_text}, {sp}"
+        else:
+            prompt = f"{ref_text}, {d} view, {sp}"
+        e["text_embeddings_vd"][d] = guidance.get_text_embeds([prompt])
+    e["uncond_text_embeddings_vd"] = {
+        d: guidance.get_text_embeds([f"{negative_text}, {VD_NEG[d]}, {sn}"])
+        for d in VD_DIRS
+    }
+    return e
+
+
+class SceneTrainer:
+    def __init__(self, cfg, guidance: mtsd.MTSD | None = None,
+                 exp_root: str = "experiments", interpret: bool = False,
+                 env_density: float = 1.0):
+        self.cfg = cfg
+        self.pose_args = cfg.generateCamParams
+        self.scene_pose_args = cfg.sceneGenerateCamParams
+        self.guidance_opt = cfg.guidanceParams
+        self.dataset_args = cfg.modelParams
+        self.interpret = interpret
+        self.env_density = env_density  # <1 shrinks env/floor inits (tests)
+
+        exp_name = (cfg.log or {}).get("exp_name", "default") if isinstance(
+            cfg.log, dict) else "default"
+        self.exp_path = Path(exp_root) / exp_name
+        self.ckpt_path = self.exp_path / "checkpoints"
+        self.scene_ckpt_path = self.exp_path / "scene_checkpoints"
+        self.vis_path = self.exp_path / "vis"
+        for p in (self.ckpt_path, self.scene_ckpt_path, self.vis_path):
+            p.mkdir(parents=True, exist_ok=True)
+
+        self.rng = np.random.default_rng(cfg.seed)
+        self.cameras_extent = self.pose_args.default_radius
+        self.guidance = guidance
+        self.scene = SceneModel()
+        self.step = 0
+        self.current_prev_n = 0
+        self._jit_cache = {}
+        self.bg_color = (0.0, 0.0, 0.0)
+
+        sc = cfg.scene_configs or {}
+        self.scene_objects = sc.get("objects") or []
+        self.scene_cfg = sc.get("scene") or {}
+        self.cam_pose_method = self.scene_cfg.get("cam_pose_method", "indoor")
+
+    # ------------------------------------------------------------------
+    def object_task(self, obj_cfg: dict):
+        """Train (or load) one object (reference: scene_trainer.py:337-346)."""
+        cfg = dataclasses.replace(self.cfg)  # shallow; objectParams swapped
+        from dreamscene_tpu.utils.config import ObjectParams
+
+        op = ObjectParams(**{
+            k: v for k, v in obj_cfg.items() if hasattr(ObjectParams(), k)
+        })
+        cfg.objectParams = op
+        trainer = ObjectTrainer(
+            cfg, guidance=self.guidance, obj_id=op.id,
+            exp_root=str(self.exp_path.parent), interpret=self.interpret,
+        )
+        trainer.exp_path = self.exp_path
+        trainer.ckpt_path = self.ckpt_path
+        trainer.train()
+        self.guidance = trainer.guidance
+        return trainer.state
+
+    # ------------------------------------------------------------------
+    def prepare_train_scene(self):
+        """Assemble the scene: place objects, build env/floor, embeddings
+        (reference: scene_trainer.py:103-189 + scene_gaussian
+        add_objects_to_scene/init_gaussian_scene)."""
+        if self.guidance is None:
+            self.guidance = mtsd.make_tiny_guidance(self.guidance_opt)
+
+        sc = self.scene_cfg
+        scene_box = np.zeros(6, np.float32)
+        self.scene = SceneModel(scene_box=scene_box)
+        composition = sc.get("scene_composition") or []
+        count = 0
+        for obj in composition:
+            ply = self.ckpt_path / f"{obj['id']}_final_model.ply"
+            base = load_splat_ply(str(ply), sh_degree=None)
+            for tp in obj["params"]:
+                placed, args, bbox = place_object(
+                    base, tp["center"], tp["rotation"], tp["scale"]
+                )
+                args.object_id = obj["id"]
+                args.clas = count
+                name = f"{count}_{obj['id']}"
+                from dreamscene_tpu.models.scene import ObjectEntry
+
+                self.scene.objects[name] = ObjectEntry(id=name, state=placed)
+                self.scene.objects_args.append(args)
+                self.scene.grow_box(bbox)
+                count += 1
+
+        radius = np.asarray(sc.get("radius", [3.5, 2.5, 5.0]), np.float32)
+        cfg_box = np.zeros(6, np.float32)
+        cfg_box[3:] = radius
+        if sc.get("zero_ground", True):
+            cfg_box[:2] = -cfg_box[3:5]
+        else:
+            cfg_box[:3] = -cfg_box[3:]
+        self.scene.grow_box(cfg_box)
+
+        env_pts, env_cols = init_env_points(
+            self.cam_pose_method, self.scene.scene_box,
+            env_init_color=sc.get("env_init_color", (255, 255, 255)),
+            zero_ground=sc.get("zero_ground", True),
+            seed=self.cfg.seed, density=self.env_density,
+        )
+        floor_pts, floor_cols = init_floor_points(
+            self.cam_pose_method, self.scene.scene_box,
+            floor_init_color=sc.get("floor_init_color", (255, 255, 255)),
+            zero_ground=sc.get("zero_ground", True),
+            seed=self.cfg.seed + 1, density=self.env_density,
+        )
+        deg = sc.get("sh_degree", 1)
+        max_pts = self.cfg.sceneOptimizationParams.max_point_number
+        self.scene.env = create_from_points(
+            env_pts, env_cols, sh_degree=deg,
+            capacity=min(int(env_pts.shape[0] * 1.5), max_pts),
+        )
+        self.scene.floor = create_from_points(
+            floor_pts, floor_cols, sh_degree=deg,
+            capacity=min(int(floor_pts.shape[0] * 1.5), max_pts // 3),
+        )
+
+        self.embeddings = calc_scene_text_embeddings(
+            self.guidance, sc.get("scene_text", ""),
+            sc.get("negative_text", ""), self.cam_pose_method,
+            self.cfg.sceneOptimizationParams,
+        )
+        self.cams_loader = SceneCameraLoader(
+            self.rng, self.scene_pose_args, self.scene.scene_box,
+            self.scene.objects_args, self.cam_pose_method,
+        )
+        self._maybe_resume()
+
+    # -- checkpointing ---------------------------------------------------
+    def save_ckpt(self):
+        path = self.scene_ckpt_path / f"scene_{self.scene.stage_n}_stage.ckpt.npz"
+        flat = {}
+        for name, st in (("env", self.scene.env), ("floor", self.scene.floor)):
+            leaves, treedef = jax.tree.flatten(
+                {"params": st.params, "aux": st.aux, "opt": st.opt}
+            )
+            for i, leaf in enumerate(leaves):
+                flat[f"{name}_{i}"] = np.asarray(leaf)
+            flat[f"{name}_meta"] = np.asarray(
+                [st.sh_degree, st.active_sh_degree], np.int32
+            )
+        flat["stage_n"] = np.asarray(self.scene.stage_n)
+        np.savez_compressed(path, **flat)
+        logger.info("saved scene ckpt %s", path)
+
+    def _maybe_resume(self):
+        best = 0
+        best_path = None
+        for f in os.listdir(self.scene_ckpt_path):
+            if f.startswith("scene_") and f.endswith("_stage.ckpt.npz"):
+                n = int(f.split("_")[1])
+                if n > best:
+                    best, best_path = n, self.scene_ckpt_path / f
+        if best_path is None:
+            return
+        data = np.load(best_path)
+        for name in ("env", "floor"):
+            st = getattr(self.scene, name)
+            tpl = {"params": st.params, "aux": st.aux, "opt": st.opt}
+            leaves, treedef = jax.tree.flatten(tpl)
+            new_leaves = [
+                jnp.asarray(data[f"{name}_{i}"]) for i in range(len(leaves))
+            ]
+            restored = jax.tree.unflatten(treedef, new_leaves)
+            meta = data[f"{name}_meta"]
+            setattr(
+                self.scene, name,
+                dataclasses.replace(
+                    st, params=restored["params"], aux=restored["aux"],
+                    opt=restored["opt"], active_sh_degree=int(meta[1]),
+                ),
+            )
+        self.scene.stage_n = int(data["stage_n"])
+        logger.info("resumed scene at stage %d", self.scene.stage_n)
+
+    # ------------------------------------------------------------------
+    def _visible_names(self, only_env: bool):
+        if only_env:
+            return []
+        return list(self.scene.objects)
+
+    def _states(self, names):
+        """Concat order: objects..., floor, env (reference concat order,
+        scene_gaussian.py:753-846)."""
+        return (
+            [self.scene.objects[n].state for n in names]
+            + [self.scene.floor, self.scene.env]
+        )
+
+    def _scene_step_fn(self, n_rungs, n_models, capacities, degrees,
+                       trainable, guidance_on, c_batch):
+        """Build the jitted multi-model step. trainable: tuple of bools per
+        model (objects..., floor, env); guidance_on False -> recon L2."""
+        key = ("scene", n_rungs, n_models, capacities, degrees, trainable,
+               guidance_on, c_batch)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        g = self.guidance
+        mods = g.mods
+        width = self.scene_pose_args.image_w
+        height = self.scene_pose_args.image_h
+        optp = self.cfg.sceneOptimizationParams
+        guidance_scale = self.guidance_opt.guidance_scale
+        lambda_guidance = self.guidance_opt.lambda_guidance
+        interpret = self.interpret
+        total_c = sum(capacities)
+        raster_capacity = 2 * total_c
+        sh_degree = min(degrees)
+
+        from dreamscene_tpu.ops.losses import tv_loss
+        from dreamscene_tpu.ops.rasterizer import render as rrender
+
+        def render_concat(params_list, actives, cam, bg, probe):
+            fields = {"means3d": [], "scales": [], "quats": [],
+                      "opacities": [], "shs": [], "valid": []}
+            for p, act, deg in zip(params_list, actives, degrees):
+                fields["means3d"].append(p.xyz)
+                fields["scales"].append(jnp.exp(p.scaling))
+                q = p.rotation
+                fields["quats"].append(
+                    q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                )
+                fields["opacities"].append(jax.nn.sigmoid(p.opacity[:, 0]))
+                sh = jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+                k_max = (max(degrees) + 1) ** 2
+                if sh.shape[1] < k_max:
+                    sh = jnp.pad(sh, ((0, 0), (0, k_max - sh.shape[1]), (0, 0)))
+                fields["shs"].append(sh)
+                fields["valid"].append(act)
+            out = rrender(
+                means3d=jnp.concatenate(fields["means3d"]),
+                scales=jnp.concatenate(fields["scales"]),
+                quats=jnp.concatenate(fields["quats"]),
+                opacities=jnp.concatenate(fields["opacities"]),
+                shs=jnp.concatenate(fields["shs"]),
+                viewmatrix=cam["view"], projmatrix=cam["proj"],
+                campos=cam["campos"], tanfovx=cam["tanfovx"],
+                tanfovy=cam["tanfovy"], width=width, height=height, bg=bg,
+                sh_degree=sh_degree, capacity=raster_capacity,
+                valid_mask=jnp.concatenate(fields["valid"]),
+                means2d_probe=probe, interpret=interpret,
+            )
+            return out
+
+        @jax.jit
+        def step(params_list, opt_list, aux_list, cam_stack, bg_stack,
+                 text_emb, ladder_ts, noise, vae_key, flip, as_latent,
+                 lrs_list, gt_images):
+            actives = tuple(a.active for a in aux_list)
+
+            def loss_fn(params_list, probes):
+                images, depths, alphas = [], [], []
+                aux_out = {}
+                for i in range(c_batch):
+                    cam = jax.tree.map(lambda x, i=i: x[i], cam_stack)
+                    out = render_concat(
+                        params_list, actives, cam, bg_stack[i], probes[i]
+                    )
+                    focal = 1.0 / (2.0 * cam["tanfovx"])
+                    disp = focal / (out["depth"] + out["alpha"] * 10.0 + 1e-5)
+                    empty = out["alpha"] <= 0.1
+                    min_d = jnp.where(
+                        jnp.any(empty),
+                        jnp.min(jnp.where(empty, disp, jnp.inf)),
+                        jnp.min(disp),
+                    )
+                    disp = jnp.clip(
+                        (disp - min_d) / (jnp.max(disp) - min_d), 0, 1
+                    )
+                    images.append(out["image"])
+                    depths.append(disp[None])
+                    alphas.append(out["alpha"][None])
+                    if i == c_batch - 1:
+                        aux_out["radii"] = out["radii"]
+                        aux_out["visible"] = out["visibility_filter"]
+
+                images = jnp.stack(images)
+                depths = jnp.stack(depths)
+                alphas = jnp.stack(alphas)
+
+                if guidance_on:
+                    images_f, depths_f, alphas_f = mtsd.horizontal_flip(
+                        flip, images, depths, alphas
+                    )
+                    enc_in = jnp.where(
+                        as_latent, jnp.repeat(depths_f, 3, axis=1), images_f
+                    )
+                    latents = mtsd.encode_images(mods, enc_in, vae_key)
+                    scores = mtsd.ladder_scores(
+                        mods, jax.lax.stop_gradient(latents), noise,
+                        ladder_ts, text_emb, n_rungs=n_rungs,
+                    )
+                    grad = mtsd.csd_grad(mods, scores, guidance_scale,
+                                         lambda_guidance)
+                    loss = mtsd.specify_gradient_loss(latents, grad)
+                    loss = loss + optp.lambda_tv * tv_loss(images)
+                    loss = loss + optp.lambda_tv_depth * tv_loss(depths)
+                    # masked mean scale over trainable models
+                    s_sum, s_cnt = 0.0, 0.0
+                    for p, act, tr in zip(params_list, actives, trainable):
+                        if tr:
+                            s = jnp.exp(p.scaling)
+                            s_sum = s_sum + jnp.sum(s * act[:, None])
+                            s_cnt = s_cnt + jnp.sum(act) * 3.0
+                    loss = loss + optp.lambda_scale * s_sum / jnp.maximum(
+                        s_cnt, 1.0
+                    )
+                else:
+                    loss = 100.0 * jnp.mean((images - gt_images) ** 2)
+                return loss, aux_out
+
+            probes = jnp.zeros((c_batch, total_c, 2), jnp.float32)
+            (loss, aux_out), (grads_list, probe_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params_list, probes)
+
+            new_params, new_opts, new_auxes = [], [], []
+            offset = 0
+            last_probe = probe_grads[c_batch - 1]
+            for idx, (p, o, a, gr, cap) in enumerate(
+                zip(params_list, opt_list, aux_list, grads_list, capacities)
+            ):
+                if trainable[idx]:
+                    np_, no_ = adam_update(p, gr, o, a.active, lrs_list[idx])
+                    seg_probe = last_probe[offset:offset + cap]
+                    seg_vis = aux_out["visible"][offset:offset + cap]
+                    seg_radii = aux_out["radii"][offset:offset + cap]
+                    na_ = D.update_max_radii(a, seg_radii, seg_vis)
+                    na_ = D.add_densification_stats(na_, seg_probe, seg_vis)
+                else:
+                    np_, no_, na_ = p, o, a
+                new_params.append(np_)
+                new_opts.append(no_)
+                new_auxes.append(na_)
+                offset += cap
+            return tuple(new_params), tuple(new_opts), tuple(new_auxes), loss
+
+        self._jit_cache[key] = step
+        return step
+
+    def _cam_stack(self, cameras):
+        return {
+            "view": jnp.stack(
+                [jnp.asarray(c.world_view_transform) for c in cameras]
+            ),
+            "proj": jnp.stack(
+                [jnp.asarray(c.full_proj_transform) for c in cameras]
+            ),
+            "campos": jnp.stack([jnp.asarray(c.camera_center) for c in cameras]),
+            "tanfovx": jnp.asarray([c.tanfovx for c in cameras], jnp.float32),
+            "tanfovy": jnp.asarray([c.tanfovy for c in cameras], jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def _run_scene_step(self, cameras, key_gs, only_env, scene_optim,
+                        stage_step_rate, guidance_on=True, gt_images=None,
+                        optp=None):
+        """Shared body of scene_train_step / scene_refine_step."""
+        optp = optp or self.cfg.sceneOptimizationParams
+        names = self._visible_names(only_env)
+        states = self._states(names)
+        n_models = len(states)
+        trainable = tuple(
+            [scene_optim] * len(names)
+            + [key_gs in ("floor", "all"), key_gs in ("env", "all")]
+        )
+        capacities = tuple(s.capacity for s in states)
+        degrees = tuple(s.active_sh_degree for s in states)
+        c_batch = len(cameras)
+
+        text_emb, vds = assemble_text_embeddings(self.embeddings, cameras)
+        as_latent = (
+            self.step < optp.geo_iter
+            or self.rng.random() < optp.as_latent_ratio * stage_step_rate
+        ) if guidance_on else False
+        ladder = self.guidance.sample_ladder(stage_step_rate)
+        h, w = self.scene_pose_args.image_h, self.scene_pose_args.image_w
+        noise = self.guidance.next_noise((c_batch, h // 8, w // 8, 4))
+
+        lrs_list = []
+        fine_opt = self.cfg.fineSceneOptimizationParams
+        for i, s in enumerate(states):
+            opt_args = fine_opt if (i < len(names) and scene_optim) else optp
+            lrs_list.append({
+                k: jnp.asarray(v, jnp.float32)
+                for k, v in group_lrs(opt_args, s.spatial_lr_scale,
+                                      self.step).items()
+            })
+
+        # per-camera bg aug (bg_aug_ratio scaled by stage rate in stage 1/2)
+        bg_rows = []
+        for _ in range(c_batch):
+            bg = list(self.bg_color)
+            ratio = (self.dataset_args.bg_aug_ratio * stage_step_rate
+                     if guidance_on else 0.0)
+            if self.rng.random() < ratio:
+                bg = (list(self.rng.random(3))
+                      if self.rng.random() < 0.5 else [0.0, 0.0, 0.0])
+            bg_rows.append(bg)
+
+        step_fn = self._scene_step_fn(
+            len(ladder), n_models, capacities, degrees, trainable,
+            guidance_on, c_batch,
+        )
+        params_list = tuple(s.params for s in states)
+        opt_list = tuple(s.opt for s in states)
+        aux_list = tuple(s.aux for s in states)
+        gt = (jnp.zeros((c_batch, 3, h, w)) if gt_images is None
+              else jnp.stack(gt_images))
+        new_params, new_opts, new_auxes, loss = step_fn(
+            params_list, opt_list, aux_list, self._cam_stack(cameras),
+            jnp.asarray(bg_rows, jnp.float32), text_emb,
+            jnp.asarray(ladder, jnp.int32), noise,
+            self.guidance.next_vae_key(),
+            jnp.asarray(self.guidance.should_flip() if guidance_on else False),
+            jnp.asarray(as_latent), lrs_list, gt,
+        )
+
+        # write back
+        for i, n in enumerate(names):
+            self.scene.objects[n].state = dataclasses.replace(
+                self.scene.objects[n].state, params=new_params[i],
+                opt=new_opts[i], aux=new_auxes[i],
+            )
+        self.scene.floor = dataclasses.replace(
+            self.scene.floor, params=new_params[-2], opt=new_opts[-2],
+            aux=new_auxes[-2],
+        )
+        self.scene.env = dataclasses.replace(
+            self.scene.env, params=new_params[-1], opt=new_opts[-1],
+            aux=new_auxes[-1],
+        )
+        return float(loss)
+
+    def _densify_model(self, which: str, optp, max_pts: int,
+                       size_threshold=None):
+        st = getattr(self.scene, which)
+        if num_active(st) < max_pts:
+            key = jax.random.key(int(self.rng.integers(0, 2**31)))
+            n0 = num_active(st)
+            st = D.densify_and_prune(
+                st, key, optp.densify_grad_threshold, 0.005,
+                self.cameras_extent, size_threshold, optp.percent_dense,
+            )
+            setattr(self.scene, which, st)
+            logger.debug("%s densify: %d -> %d", which, n0, num_active(st))
+        else:
+            logger.debug("%s at cap (%d), skip densify", which, num_active(st))
+
+    # ------------------------------------------------------------------
+    def scene_train_step(self, cameras, key_gs, only_env=False):
+        """Stage-1/2 FPS step (reference scene_train_step,
+        scene_trainer.py:699-1080)."""
+        self.step += 1
+        optp = self.cfg.sceneOptimizationParams
+        if self.step % 500 == 0:
+            if key_gs in ("env", "all"):
+                self.scene.env = self.scene.env.one_up_sh_degree()
+            if key_gs in ("floor", "all"):
+                self.scene.floor = self.scene.floor.one_up_sh_degree()
+        if not optp.use_progressive:
+            if (self.step >= optp.progressive_view_iter
+                    and self.step % optp.scale_up_cameras_iter == 0):
+                scale_up_camera_ranges(self.scene_pose_args, optp)
+
+        rate = min(self.step / max(self.iters, 1), 1.0)
+        loss = self._run_scene_step(cameras, key_gs, only_env, False, rate)
+
+        if self.step < optp.densify_until_iter:
+            if (self.step >= optp.densify_from_iter
+                    and self.step % optp.densification_interval == 0):
+                if key_gs in ("env", "all"):
+                    self._densify_model("env", optp, optp.max_point_number)
+                if key_gs in ("floor", "all"):
+                    self._densify_model("floor", optp,
+                                        optp.max_point_number // 3)
+        return loss
+
+    # ------------------------------------------------------------------
+    def scene_refine_phase(self, only_env, scene_optim):
+        """Stage-3 (reference scene_refine_step[_outdoor],
+        scene_trainer.py:1082-1958): one-shot pseudo-GT set, then per-view
+        L2*100 recon steps with densify + opacity resets."""
+        optp = self.cfg.reconSceneOptimizationParams
+        self.guidance.stage_range = (140, 200)
+        self.guidance.jump_range = (75, 150)
+        cams = self.scene_cams[:self.gt_size]
+        key_gs = "all"
+
+        # pseudo-GT generation
+        gts = []
+        names = self._visible_names(only_env)
+        states = self._states(names)
+        from dreamscene_tpu.rendering import scene_render
+
+        step_size = self.guidance_opt.C_batch_size
+        for j in range(0, self.gt_size // 4 * 4, step_size):
+            chunk = cams[j:j + step_size]
+            imgs = []
+            for cam in chunk:
+                out = scene_render(states, cam, bg_color=self.bg_color,
+                                   test=True, interpret=self.interpret)
+                imgs.append(out["image"])
+            imgs = jnp.stack(imgs)
+            text_emb, _ = assemble_text_embeddings(self.embeddings, chunk)
+            ladder = self.guidance.sample_ladder(0.0)
+            h, w = self.scene_pose_args.image_h, self.scene_pose_args.image_w
+            noise = self.guidance.next_noise((len(chunk), h // 8, w // 8, 4))
+            latents = mtsd.encode_images(
+                self.guidance.mods, imgs, self.guidance.next_vae_key()
+            )
+            scores = mtsd.ladder_scores(
+                self.guidance.mods, latents, noise,
+                jnp.asarray(ladder, jnp.int32), text_emb, n_rungs=len(ladder),
+            )
+            gt = mtsd.pseudo_gt_images(
+                self.guidance.mods, scores, self.guidance_opt.guidance_scale
+            )
+            gts.extend(list(gt))
+
+        rec_count = 0
+        for it in range(self.n_stage3):
+            self.step += 1
+            if self.step % 300 == 0:
+                self.scene.env = self.scene.env.one_up_sh_degree()
+                self.scene.floor = self.scene.floor.one_up_sh_degree()
+            for i in range(len(gts)):
+                rec_count += 1
+                self._run_scene_step(
+                    [cams[i]], key_gs, only_env, scene_optim, 1.0,
+                    guidance_on=False, gt_images=[gts[i]], optp=optp,
+                )
+                if rec_count % optp.densification_interval == 0:
+                    size_thr = (20 if self.step > optp.opacity_reset_interval
+                                else None)
+                    self._densify_model("env", optp, optp.max_point_number,
+                                        size_thr)
+                    self._densify_model("floor", optp,
+                                        optp.max_point_number // 3, size_thr)
+                if rec_count % optp.opacity_reset_interval == 0:
+                    self.scene.env = D.reset_opacity(self.scene.env)
+                    self.scene.floor = D.reset_opacity(self.scene.floor)
+
+    # ------------------------------------------------------------------
+    def scene_video_inference(self, tag, only_env=False, max_frames=None):
+        from dreamscene_tpu.rendering import scene_render
+
+        states = self._states(self._visible_names(only_env))
+        frames = []
+        cams = self.scene_cams_inference[:max_frames]
+        for cam in cams:
+            out = scene_render(states, cam, bg_color=self.bg_color, test=True,
+                               interpret=self.interpret)
+            img = np.asarray(jnp.clip(out["image"], 0, 1))
+            frames.append((np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8))
+        if frames:
+            write_video(str(self.vis_path / f"video_rgb_scene_{tag}.mp4"),
+                        frames)
+
+    # ------------------------------------------------------------------
+    def train(self, n_stage3: int = 25):
+        # 1. objects
+        for obj_cfg in self.scene_objects:
+            self.object_task(obj_cfg)
+        if self.cfg.reconOptimizationParams.only_recon_stage:
+            return
+
+        # 2. scene setup
+        self.prepare_train_scene()
+        loader = self.cams_loader
+        c_batch = self.guidance_opt.C_batch_size
+        self.scene_cams_inference = []
+        for oa in self.scene.objects_args:
+            self.scene_cams_inference += loader.Circle(
+                affine_params=oa.affine, circle_size=24
+            )
+        self.scene_cams_inference += loader.Circle(circle_size=24)
+
+        # 3. stage 1: env
+        self.n_stage1 = self.cfg.sceneOptimizationParams.iterations
+        if self.scene.stage_n == 0:
+            logger.info("Stage-1 (env)")
+            self.step = 0
+            self.iters = self.n_stage1
+            cams = self._stage1_cams(self.n_stage1 * c_batch)
+            for i in range(self.n_stage1):
+                batch = cams[i * c_batch:(i + 1) * c_batch]
+                self.scene_train_step(
+                    batch, "env",
+                    only_env=(self.cam_pose_method == "outdoor"),
+                )
+            self.scene.stage_n = 1
+            self.save_ckpt()
+        self.current_prev_n += self.n_stage1
+
+        # 4. stage 2: floor
+        self.n_stage2 = max(self.cfg.sceneOptimizationParams.iterations - 300, 1)
+        if self.scene.stage_n == 1:
+            logger.info("Stage-2 (floor)")
+            self.step = 0
+            self.iters = self.n_stage2
+            if self.cam_pose_method == "outdoor":
+                self.guidance.stage_range = (350, 800)
+                self.guidance.jump_range = (150, 200)
+            cams = self._stage2_cams(self.n_stage2 * c_batch)
+            self.guidance.stage_range = (350, 750)
+            self.guidance.jump_range = (150, 200)
+            for i in range(self.n_stage2):
+                batch = cams[i * c_batch:(i + 1) * c_batch]
+                self.scene_train_step(batch, "floor", only_env=False)
+            self.scene.stage_n = 2
+            self.save_ckpt()
+        self.current_prev_n += self.n_stage2
+
+        # 5. stage 3: refine
+        self.n_stage3 = n_stage3
+        if self.scene.stage_n == 2:
+            logger.info("Stage-3 (refine)")
+            self.step = 0
+            self.scene_cams = self._stage3_cams(20 * c_batch)
+            self.rng.shuffle(self.scene_cams)
+            self.gt_size = len(self.scene_cams) // 4 * 4
+            if self.cam_pose_method == "outdoor":
+                self.scene_refine_phase(only_env=True, scene_optim=False)
+            else:
+                self.scene_refine_phase(only_env=False, scene_optim=True)
+            self.scene.stage_n = 3
+            self.save_ckpt()
+
+        # 6. final combine
+        states = self._states(self._visible_names(False))
+        combined = final_combine_all(states)
+        save_splat_ply(
+            str(self.scene_ckpt_path / "scene_final_model.ply"), combined
+        )
+        return combined
+
+    # -- stage camera pools ---------------------------------------------
+    def _stage1_cams(self, n_max):
+        cams = []
+        mid = n_max * 0.7
+        obj_count = 0
+        while len(cams) < n_max:
+            if self.cam_pose_method == "outdoor":
+                cams += self.cams_loader.Stage1_Outdoor()
+                if len(cams) > mid:
+                    cams += self.cams_loader.Stage1_Outdoor2()
+            else:
+                cams += self.cams_loader.Stage1_Indoor()
+                if len(cams) > mid and self.rng.random() > 0.7:
+                    try:
+                        oa = self.scene.objects_args[
+                            obj_count % max(len(self.scene.objects_args), 1)
+                        ]
+                        cams += self.cams_loader.Stage2_Indoor(
+                            affine_params=oa.affine
+                        )
+                    except Exception:
+                        logger.debug("camera sampling failure around object")
+                    finally:
+                        obj_count += 1
+        return cams
+
+    def _stage2_cams(self, n_max):
+        cams = []
+        obj_count = 0
+        while len(cams) < n_max:
+            if self.cam_pose_method == "outdoor":
+                cams += self.cams_loader.Stage2_Outdoor()
+            else:
+                rcc = self.rng.random()
+                if rcc < 0.25 and self.scene.objects_args:
+                    oa = self.scene.objects_args[
+                        obj_count % len(self.scene.objects_args)
+                    ]
+                    try:
+                        cams += self.cams_loader.Stage2_Indoor(
+                            affine_params=oa.affine
+                        )
+                    except Exception:
+                        logger.debug("camera sampling failure around object")
+                    finally:
+                        obj_count += 1
+                elif rcc < 0.75:
+                    cams += self.cams_loader.Stage2_Indoor()
+                else:
+                    cams += self.cams_loader.Stage1_Indoor(
+                        size=8, view_floor=True
+                    )
+        return cams
+
+    def _stage3_cams(self, n_max):
+        cams = []
+        i = 0
+        if self.cam_pose_method == "outdoor":
+            cams = self.cams_loader.Stage3_Outdoor("env")
+            while len(cams) < n_max:
+                cams += self.cams_loader.Stage2_Outdoor()
+        else:
+            while len(cams) < n_max:
+                rcc = self.rng.random()
+                if rcc < 0.5:
+                    cams += self.cams_loader.Stage1_Indoor(
+                        size=12, view_floor=True
+                    )
+                else:
+                    cams += self.cams_loader.Stage2_Indoor(idx=i % 12, size=12)
+                i += 1
+        return cams
+
+    # ------------------------------------------------------------------
+    def scene_only_render(self, start_points=None, stop_points=None):
+        """Walkthrough render paths (reference scene_only_render,
+        scene_trainer.py:355-426)."""
+        if start_points is None:
+            if self.cam_pose_method == "indoor":
+                start_points = [[-3.0, 0, 2.2], [1.5, 0.0, 2.2], [-1.0, 0.0, 2.2]]
+                stop_points = [[1.5, 0, 2.2], [-1.0, 0.0, 2.2], [1.0, 1.0, 2.2]]
+            else:
+                start_points = [[-3, -2, 2.5], [4, -2, 2.5], [0, -4, 2.5]]
+                stop_points = [[3, -2, 2.5], [-4, 0, 2.5], [0, -2, 2.5]]
+        cams = []
+        end_point = [0, 0, 0]
+        for n, (a, b) in enumerate(zip(start_points, stop_points)):
+            cams += self.cams_loader.Line(a, b, 0.1)
+            aff = {"T": np.asarray(b, np.float64), "R": np.zeros(3),
+                   "S": np.ones(3)}
+            start_phi = float(
+                np.degrees(np.arctan2(a[0] - b[0], a[1] - b[1]))
+            )
+            if n + 1 == len(start_points):
+                nxt = end_point
+                end_phi = float(np.degrees(np.arctan2(
+                    b[0] - nxt[0], b[1] - nxt[1])))
+            else:
+                a2, b2 = start_points[n + 1], stop_points[n + 1]
+                end_phi = float(np.degrees(np.arctan2(
+                    a2[0] - b2[0], a2[1] - b2[1])))
+            cams += self.cams_loader.Circle2(
+                start_phi=start_phi, end_phi=end_phi, affine_params=aff,
+                circle_size=180, render45=False,
+            )
+        cams += self.cams_loader.Circle3()
+        self.scene_cams_inference = cams
+        self.scene_video_inference("render")
+        return cams

@@ -1,0 +1,130 @@
+"""Guidance tests: DDIM math invariants, the FPS ladder on a tiny SD stack,
+SpecifyGradient semantics, pseudo-GT shapes (reference behavior from
+guidance/sd_step.py and guidance/multitime_sd_utils.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dreamscene_tpu.ops.ddim import (
+    add_noise,
+    ddim_step,
+    make_schedule,
+    pred_original,
+)
+from dreamscene_tpu.guidance import mtsd
+from dreamscene_tpu.utils.config import GuidanceParams
+
+
+class TestDDIM:
+    def setup_method(self, _):
+        self.sched = make_schedule()
+
+    def test_add_noise_limits(self):
+        x = jnp.ones((2, 4, 4, 4))
+        eps = jnp.full((2, 4, 4, 4), 2.0)
+        near = add_noise(self.sched, x, eps, jnp.array([0, 0]))
+        far = add_noise(self.sched, x, eps, jnp.array([999, 999]))
+        # t=0: almost the clean sample; t=999: almost pure noise
+        assert abs(float(near.mean()) - 1.0) < 0.1
+        assert abs(float(far.mean()) - 2.0) < 0.3
+
+    def test_pred_original_recovers_x0(self):
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(rng.randn(2, 4, 4, 4).astype(np.float32))
+        eps = jnp.asarray(rng.randn(2, 4, 4, 4).astype(np.float32))
+        t = jnp.array([500, 500])
+        xt = add_noise(self.sched, x0, eps, t)
+        rec = pred_original(self.sched, eps, t, xt)
+        np.testing.assert_allclose(rec, x0, atol=1e-4)
+
+    def test_ddim_step_with_true_eps_denoises(self):
+        rng = np.random.RandomState(1)
+        x0 = jnp.asarray(rng.randn(1, 4, 4, 4).astype(np.float32))
+        eps = jnp.asarray(rng.randn(1, 4, 4, 4).astype(np.float32))
+        t = jnp.array([600])
+        xt = add_noise(self.sched, x0, eps, t)
+        # stepping down with the exact eps lands on add_noise at t-delta
+        prev, x0_hat = ddim_step(self.sched, eps, t, xt, 200)
+        expect = add_noise(self.sched, x0, eps, jnp.array([400]))
+        np.testing.assert_allclose(prev, expect, atol=1e-4)
+        np.testing.assert_allclose(x0_hat, x0, atol=1e-4)
+
+    def test_inversion_roundtrip(self):
+        """DDIM with eta=0 is reversible when the model output is
+        consistent: step up (negative delta) then down returns the input
+        (the property FPS's addnoise_with_cfg relies on; reference
+        docstring multitime_sd_utils.py:498)."""
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 4, 4, 4).astype(np.float32))
+        eps = jnp.asarray(rng.randn(1, 4, 4, 4).astype(np.float32))
+        t = jnp.array([300])
+        up, _ = ddim_step(self.sched, eps, t, x, -200)          # 300 -> 500
+        down, _ = ddim_step(self.sched, eps, jnp.array([500]), up, 200)
+        np.testing.assert_allclose(down, x, atol=1e-3)
+
+
+class TestLadder:
+    def setup_method(self, _):
+        self.opt = GuidanceParams()
+        self.g = mtsd.make_tiny_guidance(self.opt)
+
+    def test_build_rand_ladder_monotone_capped(self):
+        rng = np.random.default_rng(0)
+        for rate in [0.0, 0.5, 1.0]:
+            ladder = mtsd.build_rand_ladder(rng, (175, 225), (400, 850), rate)
+            assert 1 <= len(ladder) <= 4
+            assert all(b > a for a, b in zip(ladder, ladder[1:]))
+            max_step = 850 - int(450 * rate)
+            assert all(t < max_step or i == 0 for i, t in enumerate(ladder))
+
+    def test_encode_decode_shapes(self):
+        imgs = jnp.ones((2, 3, 32, 32)) * 0.5
+        lat = mtsd.encode_images(self.g.mods, imgs, jax.random.key(0))
+        assert lat.shape == (2, 16, 16, 4)
+        out = mtsd.decode_latents(self.g.mods, lat)
+        assert out.shape == (2, 3, 32, 32)
+        assert float(out.min()) >= 0 and float(out.max()) <= 1
+
+    def test_ladder_and_csd_grad(self):
+        b = 2
+        lat = jnp.asarray(np.random.RandomState(0).randn(b, 8, 8, 4), jnp.float32)
+        noise = mtsd.make_ladder_noise(jax.random.key(1), lat.shape)
+        ts = jnp.asarray([300, 500], jnp.int32)
+        text = self.g.get_text_embeds(["a", "b", "neg", "neg", "inv", "inv"])
+        scores = mtsd.ladder_scores(self.g.mods, lat, noise, ts, text, n_rungs=2)
+        assert len(scores) == 3  # t=0 + 2 rungs
+        g = mtsd.csd_grad(self.g.mods, scores, guidance_scale=7.5)
+        assert g.shape == lat.shape
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_specify_gradient(self):
+        lat = jnp.ones((2, 4, 4, 4))
+        g = jnp.full_like(lat, 0.3)
+        grad = jax.grad(lambda l: mtsd.specify_gradient_loss(l, g))(lat)
+        np.testing.assert_allclose(grad, 0.3)
+
+    def test_pseudo_gt(self):
+        b = 1
+        lat = jnp.zeros((b, 8, 8, 4))
+        noise = mtsd.make_ladder_noise(jax.random.key(2), lat.shape)
+        ts = jnp.asarray([200], jnp.int32)
+        text = self.g.get_text_embeds(["a", "neg", "inv"])
+        scores = mtsd.ladder_scores(self.g.mods, lat, noise, ts, text, n_rungs=1)
+        gt = mtsd.pseudo_gt_images(self.g.mods, scores, 7.5)
+        assert gt.shape == (b, 3, 32, 32)
+        assert float(gt.min()) >= 0 and float(gt.max()) <= 1
+
+    def test_flip_augmentation(self):
+        x = jnp.arange(8.0).reshape(1, 1, 2, 4)
+        (flipped,) = mtsd.horizontal_flip(jnp.asarray(True), x)
+        np.testing.assert_allclose(flipped[0, 0, 0], [3, 2, 1, 0])
+        (same,) = mtsd.horizontal_flip(jnp.asarray(False), x)
+        np.testing.assert_allclose(same, x)
+
+    def test_fixed_noise_is_stable(self):
+        opt = GuidanceParams(fix_noise=True)
+        g = mtsd.make_tiny_guidance(opt)
+        n1 = g.next_noise((1, 8, 8, 4))
+        n2 = g.next_noise((1, 8, 8, 4))
+        np.testing.assert_allclose(n1, n2)
