@@ -138,10 +138,53 @@ def _zeros_like_params(capacity: int, sh_degree: int) -> GaussianParams:
     )
 
 
+_KNN_LIB = None
+
+
+def _native_knn():
+    """Load (building if needed) the native grid-hash KNN (native/knn.cpp),
+    the C++ replacement for simple-knn's distCUDA2."""
+    global _KNN_LIB
+    if _KNN_LIB is not None:
+        return _KNN_LIB
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    so = os.path.join(root, "libdsknn.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["sh", os.path.join(root, "build.sh")], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.knn3_mean_sq_dist.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _KNN_LIB = lib
+    except Exception:
+        _KNN_LIB = False
+    return _KNN_LIB
+
+
 def mean_sq_dist_to_3nn(points: np.ndarray) -> np.ndarray:
     """Host-side replacement for simple-knn's distCUDA2 (reference:
     gs_renderer.py:590-594): mean squared distance to the 3 nearest
-    neighbours, used once to set initial log-scales. Init-time only."""
+    neighbours, used once to set initial log-scales. Native C++ grid-hash
+    kernel (native/knn.cpp) with a scipy cKDTree fallback."""
+    import ctypes
+
+    lib = _native_knn()
+    if lib:
+        pts = np.ascontiguousarray(points, np.float32)
+        out = np.empty(pts.shape[0], np.float32)
+        lib.knn3_mean_sq_dist(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pts.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out.astype(np.float64)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(points)

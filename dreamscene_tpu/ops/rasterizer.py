@@ -104,7 +104,7 @@ def render(
     """
     n = means3d.shape[0]
     if capacity is None:
-        capacity = max(4 * n, 1 << 15)
+        capacity = max(4 * n, 2048)
     tiles_x = cdiv(width, TILE)
     tiles_y = cdiv(height, TILE)
     n_tiles = tiles_x * tiles_y

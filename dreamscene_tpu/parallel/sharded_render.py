@@ -44,7 +44,7 @@ def make_mesh(n_dp: int, n_tp: int, devices=None) -> Mesh:
 
 
 def _render_band(inputs, cam, width, band_h, y_offset, bg, sh_degree,
-                 capacity, chunk=128):
+                 capacity, chunk=128, interpret=False):
     """Render one horizontal band of the image: shift projected y by the
     band offset and rasterize a height-band_h image. The shift happens in
     screen space *after* projection so per-splat math is identical across
@@ -57,12 +57,13 @@ def _render_band(inputs, cam, width, band_h, y_offset, bg, sh_degree,
         width=width, height=band_h, bg=bg, sh_degree=sh_degree,
         capacity=capacity, valid_mask=inputs.get("valid_mask"),
         means2d_probe=inputs.get("means2d_probe"),
-        pixel_offset_y=y_offset, chunk=chunk,
+        pixel_offset_y=y_offset, chunk=chunk, interpret=interpret,
     )
 
 
 def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
-                        capacity: int, chunk: int = 128):
+                        capacity: int, chunk: int = 128,
+                        interpret: bool = False):
     """Returns render_fn(inputs, cam_stack, bg) -> images [B,3,H,W] with B
     sharded over "dp" and H over "tp"."""
     n_tp = mesh.shape["tp"]
@@ -83,7 +84,7 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
         for i in range(b_local):
             cam = jax.tree.map(lambda x, i=i: x[i], cam_stack)
             out = _render_band(inputs, cam, width, band_h, band, bg[i],
-                               sh_degree, capacity, chunk)
+                               sh_degree, capacity, chunk, interpret)
             images.append(out["image"])
             alphas.append(out["alpha"][None])
         return jnp.stack(images), jnp.stack(alphas)
@@ -93,7 +94,8 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
 
 def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
                             sh_degree: int, capacity: int, n_rungs: int = 1,
-                            guidance_scale: float = 7.5, chunk: int = 128):
+                            guidance_scale: float = 7.5, chunk: int = 128,
+                            interpret: bool = False):
     """Full multi-chip FPS training step: sharded render -> dp-sharded
     guidance ladder -> psum'd parameter grads -> masked Adam. The returned
     function is jittable over the mesh."""
@@ -101,7 +103,7 @@ def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
 
     mods = guidance.mods
     render_fn = make_sharded_render(mesh, width, height, sh_degree, capacity,
-                                    chunk)
+                                    chunk, interpret)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

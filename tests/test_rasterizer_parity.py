@@ -16,22 +16,18 @@ from dreamscene_tpu.ops.rasterizer import render
 
 
 def make_camera(width=64, height=64, radius=4.0, azim=0.3, elev=0.2):
-    fwd = -np.array(
-        [
-            math.cos(elev) * math.sin(azim),
-            math.sin(elev),
-            math.cos(elev) * math.cos(azim),
-        ]
-    )
-    up = np.array([0.0, 1.0, 0.0])
-    right = np.cross(fwd, up)
-    right /= np.linalg.norm(right)
-    true_up = np.cross(right, fwd)
-    R = np.stack([right, true_up, -fwd], axis=1).astype(np.float32)
-    cam_pos = -fwd * radius
-    T = (-R.T @ cam_pos).astype(np.float32)
+    """Orbit camera built through the reference's own pose plumbing
+    (circle pose -> inv -> R/T), guaranteeing the +z-forward view
+    convention the rasterizer expects."""
+    from dreamscene_tpu.cameras.sampling import _pose_to_rt, circle_poses
+
+    theta = 90.0 - math.degrees(elev)
+    phi = math.degrees(azim)
+    pose = circle_poses(radius, theta, phi)
+    R, T = _pose_to_rt(pose)
     return Camera(
-        R=R, T=T, fovx=math.radians(50), fovy=math.radians(50),
+        R=R.astype(np.float32), T=T.astype(np.float32),
+        fovx=math.radians(50), fovy=math.radians(50),
         width=width, height=height,
     )
 
