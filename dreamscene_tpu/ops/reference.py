@@ -37,6 +37,8 @@ def composite_reference(
     Returns dict with image [3,H,W], depth [H,W], alpha [H,W],
     important_score [N] (per-splat accumulated blend contribution).
     """
+    from dreamscene_tpu.ops.binning import TILE
+
     n = splats.means2d.shape[0]
     order = jnp.argsort(jnp.where(splats.visible, splats.depths, jnp.inf))
 
@@ -45,19 +47,33 @@ def composite_reference(
     color_s = splats.colors[order]
     opac_s = jnp.where(splats.visible, splats.opacities, 0.0)[order]
     depth_s = splats.depths[order]
+    radii_s = splats.radii[order].astype(jnp.float32)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :]
     py = jnp.arange(height, dtype=jnp.float32)[:, None]
+    # tile id of each pixel (CUDA composites a splat only inside its
+    # radius tile-rect — the >3-sigma tails are cut at tile granularity)
+    tx_pix = jnp.floor(px / TILE)
+    ty_pix = jnp.floor(py / TILE)
 
     def step(carry, inp):
         rgb, depth_acc, t, score_acc_unused = carry
-        mean, conic, color, opac, depth = inp
+        mean, conic, color, opac, depth, radius = inp
         dx = mean[0] - px
         dy = mean[1] - py
+        # CUDA getRect tile bounds (binning.bin_splats uses the same)
+        x0 = jnp.floor((mean[0] - radius) / TILE)
+        y0 = jnp.floor((mean[1] - radius) / TILE)
+        x1 = jnp.floor((mean[0] + radius + TILE - 1) / TILE)
+        y1 = jnp.floor((mean[1] + radius + TILE - 1) / TILE)
+        in_rect = (
+            (tx_pix >= x0) & (tx_pix < x1) & (ty_pix >= y0) & (ty_pix < y1)
+        )
         power = -0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) - conic[1] * dx * dy
         alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
         alpha = jnp.where(power > 0.0, 0.0, alpha)
         alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+        alpha = jnp.where(in_rect, alpha, 0.0)
         # termination: skip the splat that would push T below eps
         t_test = t * (1.0 - alpha)
         alpha = jnp.where(t_test < TRANSMITTANCE_EPS, 0.0, alpha)
@@ -75,7 +91,7 @@ def composite_reference(
         jnp.zeros((), jnp.float32),
     )
     (rgb, depth_acc, t_final, _), scores = jax.lax.scan(
-        step, init, (mean_s, conic_s, color_s, opac_s, depth_s)
+        step, init, (mean_s, conic_s, color_s, opac_s, depth_s, radii_s)
     )
     image = rgb + t_final[None] * bg[:, None, None]
     # un-sort importance back to input order
