@@ -222,13 +222,15 @@ class TestSHRotation:
 
 class TestCamera:
     def make_lookat(self):
-        # camera at +3z looking at origin, y-up
-        forward = np.array([0, 0, -1.0])
-        up = np.array([0, 1.0, 0])
-        right = np.cross(forward, up)
-        R = np.stack([right, up, -forward], axis=1).astype(np.float32)
-        T = np.array([0, 0, 3.0], dtype=np.float32)
-        return Camera(R=R, T=T, fovx=math.radians(60), fovy=math.radians(60), width=64, height=64)
+        # camera on the y axis at radius 3 looking at the origin (z-up
+        # world), built through the reference pose pipeline
+        from dreamscene_tpu.cameras.sampling import _pose_to_rt, circle_poses
+
+        pose = circle_poses(3.0, 90.0, 0.0)
+        R, T = _pose_to_rt(pose)
+        return Camera(R=R.astype(np.float32), T=T.astype(np.float32),
+                      fovx=math.radians(60), fovy=math.radians(60),
+                      width=64, height=64)
 
     def test_projection_center_maps_to_origin(self):
         cam = self.make_lookat()
@@ -240,7 +242,7 @@ class TestCamera:
 
     def test_camera_center(self):
         cam = self.make_lookat()
-        np.testing.assert_allclose(cam.camera_center, [0, 0, 3.0], atol=1e-5)
+        np.testing.assert_allclose(cam.camera_center, [0, 3.0, 0], atol=1e-5)
 
     def test_view_depth_positive(self):
         cam = self.make_lookat()
