@@ -195,7 +195,7 @@ def scene_render(
     )
     n_total = int(offsets[-1])
     if capacity is None:
-        capacity = 4 * n_total
+        capacity = max(4 * n_total, 2048)
     out = raster_render(
         **inputs,
         **_camera_arrays(camera),

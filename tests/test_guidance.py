@@ -112,7 +112,8 @@ class TestLadder:
         text = self.g.get_text_embeds(["a", "neg", "inv"])
         scores = mtsd.ladder_scores(self.g.mods, lat, noise, ts, text, n_rungs=1)
         gt = mtsd.pseudo_gt_images(self.g.mods, scores, 7.5)
-        assert gt.shape == (b, 3, 32, 32)
+        # tiny VAE has one upsample level: 8x8 latents -> 16x16 images
+        assert gt.shape == (b, 3, 16, 16)
         assert float(gt.min()) >= 0 and float(gt.max()) <= 1
 
     def test_flip_augmentation(self):
