@@ -65,6 +65,7 @@ class GuidanceModules(NamedTuple):
     vae_decode_params: Any
     scaling_factor: float
     schedule: DiffusionSchedule
+    downscale: int = 8    # image->latent spatial factor (8 for SD)
 
 
 def encode_images(mods: GuidanceModules, images_nchw, key):
@@ -246,6 +247,10 @@ class MTSD:
             np.int32,
         )
 
+    def latent_shape(self, batch: int, height: int, width: int):
+        f = self.mods.downscale
+        return (batch, height // f, width // f, 4)
+
     def next_noise(self, latent_shape) -> jnp.ndarray:
         """Seeded ladder noise; honors fix_noise (multitime_sd_utils.py:
         205-231)."""
@@ -299,6 +304,7 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
         vae_decode_params=dp,
         scaling_factor=vcfg.scaling_factor,
         schedule=make_schedule(),
+        downscale=2 ** (len(vcfg.block_out_channels) - 1),
     )
 
     rng = np.random.default_rng(seed)

@@ -94,13 +94,16 @@ def render(
     cov3d_precomp: jnp.ndarray | None = None,
     means2d_probe: jnp.ndarray | None = None,
     pixel_offset_y: jnp.ndarray | int = 0,
+    full_height: int | None = None,
     interpret: bool = False,
 ) -> dict:
     """Render N Gaussians to an RGB+depth+alpha image. See module docstring.
 
-    pixel_offset_y: screen-space y shift applied after projection — the
-    multi-chip tile-band path renders band b by shifting splats up by
-    b*band_height and rasterizing a short image (parallel/sharded_render).
+    pixel_offset_y / full_height: the multi-chip tile-band path renders
+    band b of a full_height-pixel image by projecting against the FULL
+    image (focal lengths and NDC mapping use full_height), shifting
+    screen y by b*band_height, and rasterizing only `height` rows
+    (parallel/sharded_render).
     """
     n = means3d.shape[0]
     if capacity is None:
@@ -111,7 +114,8 @@ def render(
 
     splats = project_gaussians(
         means3d, scales, quats, opacities, shs,
-        viewmatrix, projmatrix, campos, tanfovx, tanfovy, width, height,
+        viewmatrix, projmatrix, campos, tanfovx, tanfovy, width,
+        full_height or height,
         sh_degree=sh_degree, scale_modifier=scale_modifier,
         colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
         valid_mask=valid_mask,

@@ -44,7 +44,7 @@ def make_mesh(n_dp: int, n_tp: int, devices=None) -> Mesh:
 
 
 def _render_band(inputs, cam, width, band_h, y_offset, bg, sh_degree,
-                 capacity, chunk=128, interpret=False):
+                 capacity, full_height, chunk=128, interpret=False):
     """Render one horizontal band of the image: shift projected y by the
     band offset and rasterize a height-band_h image. The shift happens in
     screen space *after* projection so per-splat math is identical across
@@ -57,7 +57,8 @@ def _render_band(inputs, cam, width, band_h, y_offset, bg, sh_degree,
         width=width, height=band_h, bg=bg, sh_degree=sh_degree,
         capacity=capacity, valid_mask=inputs.get("valid_mask"),
         means2d_probe=inputs.get("means2d_probe"),
-        pixel_offset_y=y_offset, chunk=chunk, interpret=interpret,
+        pixel_offset_y=y_offset, full_height=full_height,
+        chunk=chunk, interpret=interpret,
     )
 
 
@@ -84,7 +85,7 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
         for i in range(b_local):
             cam = jax.tree.map(lambda x, i=i: x[i], cam_stack)
             out = _render_band(inputs, cam, width, band_h, band, bg[i],
-                               sh_degree, capacity, chunk, interpret)
+                               sh_degree, capacity, height, chunk, interpret)
             images.append(out["image"])
             alphas.append(out["alpha"][None])
         return jnp.stack(images), jnp.stack(alphas)

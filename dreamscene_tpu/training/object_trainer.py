@@ -405,7 +405,9 @@ class ObjectTrainer:
         stage_step_rate = min(self.step / iters, 1.0)
         ladder = self.guidance.sample_ladder(stage_step_rate)
         h, w = self.pose_args.image_h, self.pose_args.image_w
-        noise = self.guidance.next_noise((c_batch, h // 8, w // 8, 4))
+        noise = self.guidance.next_noise(
+            self.guidance.latent_shape(c_batch, h, w)
+        )
         lrs = {
             k: jnp.asarray(v, jnp.float32)
             for k, v in group_lrs(optim, st.spatial_lr_scale, self.step).items()
@@ -520,7 +522,9 @@ class ObjectTrainer:
             text_emb, vds = assemble_text_embeddings(self.embeddings, chunk)
             ladder = self.guidance.sample_ladder(0.0)
             h, w = self.pose_args.image_h, self.pose_args.image_w
-            noise = self.guidance.next_noise((len(chunk), h // 8, w // 8, 4))
+            noise = self.guidance.next_noise(
+                self.guidance.latent_shape(len(chunk), h, w)
+            )
             latents = mtsd.encode_images(
                 self.guidance.mods, imgs, self.guidance.next_vae_key()
             )

@@ -477,7 +477,9 @@ class SceneTrainer:
         ) if guidance_on else False
         ladder = self.guidance.sample_ladder(stage_step_rate)
         h, w = self.scene_pose_args.image_h, self.scene_pose_args.image_w
-        noise = self.guidance.next_noise((c_batch, h // 8, w // 8, 4))
+        noise = self.guidance.next_noise(
+            self.guidance.latent_shape(c_batch, h, w)
+        )
 
         lrs_list = []
         fine_opt = self.cfg.fineSceneOptimizationParams
@@ -607,7 +609,9 @@ class SceneTrainer:
             text_emb, _ = assemble_text_embeddings(self.embeddings, chunk)
             ladder = self.guidance.sample_ladder(0.0)
             h, w = self.scene_pose_args.image_h, self.scene_pose_args.image_w
-            noise = self.guidance.next_noise((len(chunk), h // 8, w // 8, 4))
+            noise = self.guidance.next_noise(
+                self.guidance.latent_shape(len(chunk), h, w)
+            )
             latents = mtsd.encode_images(
                 self.guidance.mods, imgs, self.guidance.next_vae_key()
             )

@@ -93,7 +93,7 @@ class TestShardedRender:
         text = guidance.get_text_embeds(["a"] * b + ["n"] * b + ["i"] * b)
         text3 = text.reshape(3, b, *text.shape[1:])
         noise = mtsd.make_ladder_noise(
-            jax.random.key(0), (b, height // 8, width // 8, 4)
+            jax.random.key(0), guidance.latent_shape(b, height, width)
         )
         lrs = {k: jnp.asarray(1e-3, jnp.float32) for k in
                ["xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation",
