@@ -122,7 +122,7 @@ def _fwd_kernel(
     # inputs
     rec_ref,
     # outputs
-    out_ref, score_ref,
+    out_ref,
     # scratch
     acc_ref,
 ):
@@ -153,13 +153,6 @@ def _fwd_kernel(
     acc_ref[A_T, :] = v["t_new"][0]
     out_ref[0] = acc_ref[:]
 
-    # per-entry importance: sum of blend weights over pixels (MXU row-sum)
-    ones = jnp.ones((1, TILE_PIX), jnp.float32)
-    score_ref[0] = jax.lax.dot_general(
-        ones, contrib, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[0]
-
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "chunk", "interpret"))
 def composite_forward(
@@ -185,23 +178,21 @@ def composite_forward(
             pl.BlockSpec(
                 (1, ACC_ROWS, TILE_PIX), lambda c, tx, ty, f, t: (t[c], 0, 0)
             ),
-            pl.BlockSpec((1, chunk), lambda c, tx, ty, f, t: (c, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((ACC_ROWS, TILE_PIX), jnp.float32)],
     )
-    out, scores = pl.pallas_call(
+    (out,) = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles + 1, ACC_ROWS, TILE_PIX), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(tile_x0, tile_y0, first_chunk, tile_of_chunk, records)
-    return out, scores
+    return out
 
 
 # --------------------------------------------------------------------------

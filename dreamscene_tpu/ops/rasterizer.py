@@ -41,26 +41,24 @@ from dreamscene_tpu.ops.projection import project_gaussians
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _composite(records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
                n_tiles, chunk, interpret):
-    out, scores = composite_forward(
+    return composite_forward(
         records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
         n_tiles=n_tiles, chunk=chunk, interpret=interpret,
     )
-    return out, scores
 
 
 def _composite_fwd(records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
                    n_tiles, chunk, interpret):
-    out, scores = composite_forward(
+    out = composite_forward(
         records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
         n_tiles=n_tiles, chunk=chunk, interpret=interpret,
     )
-    return (out, scores), (records, tile_x0, tile_y0, first_chunk,
-                           tile_of_chunk, out)
+    return out, (records, tile_x0, tile_y0, first_chunk,
+                 tile_of_chunk, out)
 
 
-def _composite_bwd(n_tiles, chunk, interpret, res, cots):
+def _composite_bwd(n_tiles, chunk, interpret, res, g_out):
     records, tile_x0, tile_y0, first_chunk, tile_of_chunk, out = res
-    g_out, _g_scores = cots  # per-entry score cotangent is not propagated
     grec = composite_backward(
         records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
         out, g_out, n_tiles=n_tiles, chunk=chunk, interpret=interpret,
@@ -93,6 +91,7 @@ def render(
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     means2d_probe: jnp.ndarray | None = None,
+    colors_probe: jnp.ndarray | None = None,
     pixel_offset_y: jnp.ndarray | int = 0,
     full_height: int | None = None,
     interpret: bool = False,
@@ -123,6 +122,11 @@ def render(
     means2d = splats.means2d
     if means2d_probe is not None:
         means2d = means2d + means2d_probe
+    colors = splats.colors
+    if colors_probe is not None:
+        # post-clamp color probe: its cotangent is the per-splat blend
+        # weight sum (the comp- rasterizer's important_score)
+        colors = colors + colors_probe
     if not (isinstance(pixel_offset_y, int) and pixel_offset_y == 0):
         means2d = means2d - jnp.stack(
             [jnp.zeros_like(jnp.asarray(pixel_offset_y, jnp.float32)),
@@ -140,7 +144,7 @@ def render(
             means2d,                                   # 0,1
             splats.conics,                             # 2,3,4
             splats.opacities[:, None],                 # 5
-            splats.colors,                             # 6,7,8
+            colors,                                    # 6,7,8
             splats.depths[:, None],                    # 9
             jnp.zeros((n, REC_WIDTH - 10), means2d.dtype),
         ],
@@ -151,7 +155,7 @@ def render(
         (gid >= 0)[:, None], rec_n[jnp.maximum(gid, 0)], 0.0
     ).astype(jnp.float32)
 
-    tiles_out, scores = _composite(
+    tiles_out = _composite(
         records, binned.tile_x0, binned.tile_y0, binned.first_chunk,
         binned.tile_of_chunk, n_tiles, chunk, interpret,
     )
@@ -166,12 +170,6 @@ def render(
     t_final = full[4]
     image = rgb_acc + t_final[None] * bg[:, None, None]
 
-    # --- per-splat importance (LightGaussian-style blend contribution) ---
-    scores_flat = jax.lax.stop_gradient(scores).reshape(-1)
-    important_score = jnp.zeros((n,), jnp.float32).at[jnp.maximum(gid, 0)].add(
-        jnp.where(gid >= 0, scores_flat, 0.0), mode="drop"
-    )
-
     return {
         "image": image,
         "depth": depth_acc,
@@ -179,6 +177,26 @@ def render(
         "t_final": t_final,
         "radii": splats.radii,
         "visibility_filter": splats.visible,
-        "important_score": important_score,
         "n_dropped": binned.n_dropped,
     }
+
+
+def score_render(**kwargs) -> dict:
+    """Render + per-splat importance (the comp- rasterizer's
+    score_flag=True variant, SURVEY.md §2.9.1): important_score[g] =
+    sum over pixels of the splat's blend weight T*alpha — obtained as the
+    VJP of sum(rgb_accum) w.r.t. a post-clamp color probe, reusing the
+    hand-derived backward kernel."""
+    n = kwargs["means3d"].shape[0]
+    probe = jnp.zeros((n, 3), jnp.float32)
+
+    def channel_sum(p):
+        out = render(**kwargs, colors_probe=p)
+        # pre-background accumulated rgb = image - T*bg; per-channel grad
+        # of its sum w.r.t. the probe is the blend-weight sum
+        rgb_acc = out["image"] - out["t_final"][None] * kwargs["bg"][:, None, None]
+        return jnp.sum(rgb_acc[0]), out
+
+    (_, out), g = jax.value_and_grad(channel_sum, has_aux=True)(probe)
+    out["important_score"] = jax.lax.stop_gradient(g[:, 0])
+    return out

@@ -148,6 +148,29 @@ def object_render(
     return _postprocess(out, camera)
 
 
+def score_render(
+    state: GaussianState,
+    camera: Camera,
+    bg_color=(0.0, 0.0, 0.0),
+    capacity_mult: int = 4,
+    interpret: bool = False,
+):
+    """Render + per-splat importance (reference score_render,
+    scene_gaussian.py:546-671)."""
+    from dreamscene_tpu.ops.rasterizer import score_render as _score
+
+    inputs = prepare_inputs(state, None)
+    out = _score(
+        **inputs,
+        **_camera_arrays(camera),
+        bg=jnp.asarray(bg_color, jnp.float32),
+        sh_degree=state.active_sh_degree,
+        capacity=capacity_mult * state.capacity,
+        interpret=interpret,
+    )
+    return _postprocess(out, camera)
+
+
 def concat_states(states: Sequence[GaussianState]):
     """Concatenate models for a joint scene render; returns (inputs dict,
     segment offsets) — segment i covers state i's capacity rows, for

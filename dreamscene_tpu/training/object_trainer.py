@@ -468,11 +468,12 @@ class ObjectTrainer:
         prune_decay = self._mode_arg("prune_decay", 0.8)
         st = self.state
         cams = S.load_sphere_cam(self.rng, self.pose_args, size=48)
+        from dreamscene_tpu.rendering import score_render
+
         imp = jnp.zeros((st.capacity,), jnp.float32)
         for cam in cams:
-            out = object_render(
-                st, cam, bg_color=self._bg_color(), test=True,
-                interpret=self.interpret,
+            out = score_render(
+                st, cam, bg_color=self._bg_color(), interpret=self.interpret,
             )
             imp = imp + out["important_score"]
         volume = jnp.prod(st.get_scaling, axis=1) * st.aux.active

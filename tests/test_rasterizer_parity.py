@@ -81,11 +81,13 @@ class TestForwardParity:
         np.testing.assert_allclose(got["radii"], ref["radii"])
 
     def test_importance_matches_reference(self):
+        from dreamscene_tpu.ops.rasterizer import score_render
+
         scene = make_scene(200, seed=2)
         cam = make_camera(48, 48)
         kw = camera_kwargs(cam)
         ref = render_reference(**scene, **kw, bg=BG, sh_degree=2)
-        got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
+        got = score_render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
         np.testing.assert_allclose(
             got["important_score"], ref["important_score"], atol=1e-4, rtol=1e-3
         )
