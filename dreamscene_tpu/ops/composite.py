@@ -288,18 +288,15 @@ def _bwd_kernel(
 
     acc_ref[A_T, :] = v["t_new"][0]
 
-    grec = jnp.zeros((chunk, REC_WIDTH), jnp.float32)
-    grec = grec.at[:, F_MX].set(g_mx)
-    grec = grec.at[:, F_MY].set(g_my)
-    grec = grec.at[:, F_CA].set(g_ca)
-    grec = grec.at[:, F_CB].set(g_cb)
-    grec = grec.at[:, F_CC].set(g_cc)
-    grec = grec.at[:, F_OPA].set(g_opa)
-    grec = grec.at[:, F_R].set(gcd[:, 0])
-    grec = grec.at[:, F_G].set(gcd[:, 1])
-    grec = grec.at[:, F_B].set(gcd[:, 2])
-    grec = grec.at[:, F_DEPTH].set(gcd[:, 3])
-    grec_ref[:] = grec
+    # column order must match the record layout F_MX..F_DEPTH (0..9)
+    grec_ref[:] = jnp.concatenate(
+        [
+            g_mx[:, None], g_my[:, None], g_ca[:, None], g_cb[:, None],
+            g_cc[:, None], g_opa[:, None], gcd,
+            jnp.zeros((chunk, REC_WIDTH - 10), jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "chunk", "interpret"))
