@@ -90,15 +90,19 @@ def bin_splats(
     nx = jnp.where(vis, x1 - x0, 0)
     ny = jnp.where(vis, y1 - y0, 0)
     count = nx * ny                                       # [N]
-    offsets = jnp.cumsum(count) - count                   # exclusive
+    offsets = jnp.cumsum(count) - count                   # exclusive, ascending
     total = jnp.minimum(offsets[-1] + count[-1], capacity)
     n_dropped = jnp.maximum(offsets[-1] + count[-1] - capacity, 0)
 
-    # 3. entry -> depth-ranked splat (scatter + cumsum trick)
-    marks = jnp.zeros((capacity,), jnp.int32)
-    marks = marks.at[offsets].add(1, mode="drop")
-    drank = jnp.cumsum(marks) - 1                         # [capacity]
+    # 3. entry -> depth-ranked splat. NOTE: scatter-free — XLA scatters
+    # with colliding indices serialize badly on TPU (measured 10x+ the
+    # whole composite kernel); every step below is searchsorted + gather.
+    n = count.shape[0]
     e = jnp.arange(capacity, dtype=jnp.int32)
+    drank = jnp.clip(
+        jnp.searchsorted(offsets, e, side="right").astype(jnp.int32) - 1,
+        0, n - 1,
+    )
     slot = e - offsets[drank]
     valid = (e < total) & (slot < count[drank]) & (slot >= 0)
     tx = x0[drank] + slot % jnp.maximum(nx[drank], 1)
@@ -110,24 +114,27 @@ def bin_splats(
     tile_s = tile[perm]
     gid_s = jnp.where(valid[perm], order[drank[perm]], -1)
 
-    # per-tile counts and padded layout
-    counts_t = jnp.zeros((n_tiles,), jnp.int32).at[tile_s].add(
-        valid[perm].astype(jnp.int32), mode="drop"
-    )
+    # per-tile counts from the sorted keys (no histogram scatter)
+    tile_first = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts_t = tile_first[1:] - tile_first[:-1]           # [n_tiles]
     padded_counts = jnp.maximum(cdiv_dyn(counts_t, chunk), 1) * chunk
     padded_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )  # [n_tiles + 1]
 
-    # rank of each sorted entry within its tile
-    tile_first = jnp.searchsorted(tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    pos = jnp.arange(capacity, dtype=jnp.int32)
-    rank = pos - tile_first[jnp.clip(tile_s, 0, n_tiles)]
-    dest = jnp.where(
-        tile_s < n_tiles, padded_starts[jnp.clip(tile_s, 0, n_tiles - 1)] + rank, pad_cap
+    # 5. padded table by GATHER: position p belongs to tile t; its source
+    # is the rank-th sorted entry of that tile.
+    p = jnp.arange(pad_cap, dtype=jnp.int32)
+    t_of_p = jnp.clip(
+        jnp.searchsorted(padded_starts, p, side="right").astype(jnp.int32) - 1,
+        0, n_tiles - 1,
     )
-
-    entry_gid = jnp.full((pad_cap,), -1, jnp.int32).at[dest].set(gid_s, mode="drop")
+    rank = p - padded_starts[t_of_p]
+    in_use = (p < padded_starts[-1]) & (rank < counts_t[t_of_p])
+    src = jnp.clip(tile_first[t_of_p] + rank, 0, capacity - 1)
+    entry_gid = jnp.where(in_use, gid_s[src], -1)
 
     # 5. per-chunk metadata
     c_start = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
