@@ -45,7 +45,6 @@ class BinnedSplats(NamedTuple):
     tile_y0: jnp.ndarray       # [n_chunks] int32 tile pixel origin y
     n_entries: jnp.ndarray     # [] int32 actual entries before padding
     n_dropped: jnp.ndarray     # [] int32 entries lost to capacity overflow
-    depth_order: jnp.ndarray   # [N] int32 splat indices sorted by depth
 
 
 def padded_capacity(capacity: int, n_tiles: int, chunk: int) -> int:
@@ -75,46 +74,54 @@ def bin_splats(
     means2d = jax.lax.stop_gradient(means2d)
     depths_sg = jax.lax.stop_gradient(depths)
 
-    # 1. depth order (invisible splats pushed to the back)
-    order = jnp.argsort(jnp.where(visible, depths_sg, jnp.inf)).astype(jnp.int32)
-    mx = means2d[order, 0]
-    my = means2d[order, 1]
-    r = radii[order].astype(jnp.float32)
-    vis = visible[order]
-
-    # 2. touched-tile rects (CUDA getRect semantics)
+    # 1. touched-tile rects in ORIGINAL splat order (no pre-sort, no
+    # gathers; depth ordering is folded into the entry sort below).
+    # CUDA getRect semantics (rect of tiles covering mean +- radius).
+    mx = means2d[:, 0]
+    my = means2d[:, 1]
+    r = radii.astype(jnp.float32)
     x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
-    nx = jnp.where(vis, x1 - x0, 0)
-    ny = jnp.where(vis, y1 - y0, 0)
+    nx = jnp.where(visible, x1 - x0, 0)
+    ny = jnp.where(visible, y1 - y0, 0)
     count = nx * ny                                       # [N]
-    offsets = jnp.cumsum(count) - count                   # exclusive, ascending
+    offsets = jnp.cumsum(count) - count                   # exclusive
     total = jnp.minimum(offsets[-1] + count[-1], capacity)
     n_dropped = jnp.maximum(offsets[-1] + count[-1] - capacity, 0)
 
-    # 3. entry -> depth-ranked splat. NOTE: scatter-free — XLA scatters
-    # with colliding indices serialize badly on TPU (measured 10x+ the
-    # whole composite kernel); every step below is searchsorted + gather.
-    n = count.shape[0]
+    # 2. entry -> splat (scatter + cumsum trick).
+    # PERF NOTES (measured on v5e): one scatter + cumsum beats
+    # jnp.searchsorted over entry-sized arrays by >100x; all per-entry
+    # splat fields are fetched with ONE packed row gather (scalar gathers
+    # of 1M+ elements cost ~13ms each); depth enters the entry sort as a
+    # second key (positive-f32 bits sort like floats), killing the
+    # depth argsort + re-gather chain entirely.
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].add(1, mode="drop")
+    dsplat = jnp.cumsum(marks) - 1                        # [capacity]
     e = jnp.arange(capacity, dtype=jnp.int32)
-    drank = jnp.clip(
-        jnp.searchsorted(offsets, e, side="right").astype(jnp.int32) - 1,
-        0, n - 1,
+
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths_sg, 1e-6).astype(jnp.float32), jnp.int32
     )
-    slot = e - offsets[drank]
-    valid = (e < total) & (slot < count[drank]) & (slot >= 0)
-    tx = x0[drank] + slot % jnp.maximum(nx[drank], 1)
-    ty = y0[drank] + slot // jnp.maximum(nx[drank], 1)
+    pack = jnp.stack([x0, y0, nx, count, offsets, depth_bits], axis=1)
+    g = pack[dsplat]                                      # [capacity, 6]
+    slot = e - g[:, 4]
+    valid = (e < total) & (slot < g[:, 3]) & (slot >= 0)
+    gnx = jnp.maximum(g[:, 2], 1)
+    tx = g[:, 0] + slot % gnx
+    ty = g[:, 1] + slot // gnx
     tile = jnp.where(valid, ty * tiles_x + tx, n_tiles)   # trash tile = n_tiles
 
-    # 4. stable sort by tile (preserves depth order within tile)
-    perm = jnp.argsort(tile, stable=True).astype(jnp.int32)
-    tile_s = tile[perm]
-    gid_s = jnp.where(valid[perm], order[drank[perm]], -1)
+    # 3. sort entries by (tile, depth) carrying the splat id
+    gid0 = jnp.where(valid, dsplat, -1)
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, g[:, 5], gid0), num_keys=2
+    )
 
-    # per-tile counts from the sorted keys (no histogram scatter)
+    # per-tile first indices from the sorted keys (1025 binary searches
+    # over the sorted array — cheap; the scatter-add histogram is not)
     tile_first = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
@@ -124,26 +131,30 @@ def bin_splats(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
     )  # [n_tiles + 1]
 
-    # 5. padded table by GATHER: position p belongs to tile t; its source
-    # is the rank-th sorted entry of that tile.
-    p = jnp.arange(pad_cap, dtype=jnp.int32)
-    t_of_p = jnp.clip(
-        jnp.searchsorted(padded_starts, p, side="right").astype(jnp.int32) - 1,
-        0, n_tiles - 1,
-    )
-    rank = p - padded_starts[t_of_p]
-    in_use = (p < padded_starts[-1]) & (rank < counts_t[t_of_p])
-    src = jnp.clip(tile_first[t_of_p] + rank, 0, capacity - 1)
-    entry_gid = jnp.where(in_use, gid_s[src], -1)
-
-    # 5. per-chunk metadata
-    c_start = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    # 4. padded table by gather: chunk-aligned padding means a position's
+    # tile is its chunk's tile (computed by 10K cheap binary searches)
+    n_chunks_l = pad_cap // chunk
+    c_start = jnp.arange(n_chunks_l, dtype=jnp.int32) * chunk
     tile_of_chunk = (
-        jnp.searchsorted(padded_starts, c_start, side="right").astype(jnp.int32) - 1
+        jnp.searchsorted(padded_starts, c_start, side="right").astype(jnp.int32)
+        - 1
     )
     tile_of_chunk = jnp.where(
         c_start < padded_starts[-1], tile_of_chunk, n_tiles
     ).astype(jnp.int32)
+    t_of_p = jnp.repeat(tile_of_chunk, chunk)             # [pad_cap]
+    t_clip = jnp.clip(t_of_p, 0, n_tiles - 1)
+    tpack = jnp.stack(
+        [padded_starts[:-1], tile_first[:-1], counts_t], axis=1
+    )                                                     # [n_tiles, 3]
+    tg = tpack[t_clip]                                    # [pad_cap, 3]
+    p = jnp.arange(pad_cap, dtype=jnp.int32)
+    rank = p - tg[:, 0]
+    in_use = (t_of_p < n_tiles) & (rank >= 0) & (rank < tg[:, 2])
+    src = jnp.clip(tg[:, 1] + rank, 0, capacity - 1)
+    entry_gid = jnp.where(in_use, gid_s[src], -1)
+
+    # 5. per-chunk metadata
     first_chunk = (
         c_start == padded_starts[jnp.clip(tile_of_chunk, 0, n_tiles)]
     ) | (tile_of_chunk == n_tiles)
@@ -167,7 +178,6 @@ def bin_splats(
         tile_y0=tile_y0,
         n_entries=total,
         n_dropped=n_dropped,
-        depth_order=order,
     )
 
 

@@ -93,15 +93,39 @@ def project_gaussians(
     mean_y = ndc2pix(ndc[:, 1], height)
     means2d = jnp.stack([mean_x, mean_y], axis=-1)
 
-    # --- 3D covariance ---------------------------------------------------
+    # --- 3D covariance (closed form; batched 3x3 matmuls are slow on TPU)
     if cov3d_precomp is not None:
-        from dreamscene_tpu.ops.covariance import unstrip_symmetric
-
-        cov3d = unstrip_symmetric(cov3d_precomp)
+        c_xx, c_xy, c_xz = (cov3d_precomp[:, 0], cov3d_precomp[:, 1],
+                            cov3d_precomp[:, 2])
+        c_yy, c_yz, c_zz = (cov3d_precomp[:, 3], cov3d_precomp[:, 4],
+                            cov3d_precomp[:, 5])
     else:
-        cov3d = build_covariance_3d(scales, quats, scale_modifier)
+        qn = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        w, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+        s0, s1, s2 = (scales[:, 0] * scale_modifier,
+                      scales[:, 1] * scale_modifier,
+                      scales[:, 2] * scale_modifier)
+        r00 = 1 - 2 * (y * y + z * z)
+        r01 = 2 * (x * y - z * w)
+        r02 = 2 * (x * z + y * w)
+        r10 = 2 * (x * y + z * w)
+        r11 = 1 - 2 * (x * x + z * z)
+        r12 = 2 * (y * z - x * w)
+        r20 = 2 * (x * z - y * w)
+        r21 = 2 * (y * z + x * w)
+        r22 = 1 - 2 * (x * x + y * y)
+        # L = R diag(s); Sigma = L L^T
+        a0, a1, a2 = r00 * s0, r01 * s1, r02 * s2
+        b0, b1, b2 = r10 * s0, r11 * s1, r12 * s2
+        g0, g1, g2 = r20 * s0, r21 * s1, r22 * s2
+        c_xx = a0 * a0 + a1 * a1 + a2 * a2
+        c_xy = a0 * b0 + a1 * b1 + a2 * b2
+        c_xz = a0 * g0 + a1 * g1 + a2 * g2
+        c_yy = b0 * b0 + b1 * b1 + b2 * b2
+        c_yz = b0 * g0 + b1 * g1 + b2 * g2
+        c_zz = g0 * g0 + g1 * g1 + g2 * g2
 
-    # --- EWA: project covariance to screen -------------------------------
+    # --- EWA: project covariance to screen (closed form) -----------------
     # Clamp view-space x/y to limit perspective distortion (CUDA: 1.3*tan).
     lim_x, lim_y = 1.3 * tanfovx, 1.3 * tanfovy
     tzc = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
@@ -110,19 +134,28 @@ def project_gaussians(
     inv_z = 1.0 / tzc
     inv_z2 = inv_z * inv_z
 
-    # J rows (2x3), W = view rotation; T = J @ W (2x3)
+    # T = J @ W with J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
     w_rot = viewmatrix[:3, :3]
     j00 = fx * inv_z
     j02 = -fx * tx * inv_z2
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
-    t_row0 = j00[:, None] * w_rot[0][None, :] + j02[:, None] * w_rot[2][None, :]
-    t_row1 = j11[:, None] * w_rot[1][None, :] + j12[:, None] * w_rot[2][None, :]
-    t_mat = jnp.stack([t_row0, t_row1], axis=-2)          # [N, 2, 3]
-    cov2d = t_mat @ cov3d @ jnp.swapaxes(t_mat, -1, -2)   # [N, 2, 2]
-    cxx = cov2d[:, 0, 0] + LOWPASS
-    cxy = cov2d[:, 0, 1]
-    cyy = cov2d[:, 1, 1] + LOWPASS
+    t00 = j00 * w_rot[0, 0] + j02 * w_rot[2, 0]
+    t01 = j00 * w_rot[0, 1] + j02 * w_rot[2, 1]
+    t02 = j00 * w_rot[0, 2] + j02 * w_rot[2, 2]
+    t10 = j11 * w_rot[1, 0] + j12 * w_rot[2, 0]
+    t11 = j11 * w_rot[1, 1] + j12 * w_rot[2, 1]
+    t12 = j11 * w_rot[1, 2] + j12 * w_rot[2, 2]
+    # u = Sigma @ t_row; cov2d entries = t_row . u
+    u0 = c_xx * t00 + c_xy * t01 + c_xz * t02
+    u1 = c_xy * t00 + c_yy * t01 + c_yz * t02
+    u2 = c_xz * t00 + c_yz * t01 + c_zz * t02
+    v0 = c_xx * t10 + c_xy * t11 + c_xz * t12
+    v1 = c_xy * t10 + c_yy * t11 + c_yz * t12
+    v2 = c_xz * t10 + c_yz * t11 + c_zz * t12
+    cxx = t00 * u0 + t01 * u1 + t02 * u2 + LOWPASS
+    cxy = t10 * u0 + t11 * u1 + t12 * u2
+    cyy = t10 * v0 + t11 * v1 + t12 * v2 + LOWPASS
 
     det = cxx * cyy - cxy * cxy
     det_ok = det > 0.0
