@@ -45,6 +45,8 @@ class BinnedSplats(NamedTuple):
     tile_y0: jnp.ndarray       # [n_chunks] int32 tile pixel origin y
     n_entries: jnp.ndarray     # [] int32 actual entries before padding
     n_dropped: jnp.ndarray     # [] int32 entries lost to capacity overflow
+    surv_counts: jnp.ndarray   # [N] int32 entries of each splat that survived
+    seg_starts: jnp.ndarray    # [N] int32 segment start in gid-sorted order
 
 
 def padded_capacity(capacity: int, n_tiles: int, chunk: int) -> int:
@@ -154,6 +156,13 @@ def bin_splats(
     src = jnp.clip(tg[:, 1] + rank, 0, capacity - 1)
     entry_gid = jnp.where(in_use, gid_s[src], -1)
 
+    # per-splat survivor segments (for the gather-VJP segmented reduction,
+    # rasterizer.gather_records): in gid-sorted order the -1 padding rows
+    # come first, then each splat's entries contiguously.
+    surv = jnp.clip(jnp.minimum(offsets + count, total) - offsets, 0, count)
+    n_pad_rows = pad_cap - jnp.sum(surv)
+    seg_starts = n_pad_rows + jnp.cumsum(surv) - surv
+
     # 5. per-chunk metadata
     first_chunk = (
         c_start == padded_starts[jnp.clip(tile_of_chunk, 0, n_tiles)]
@@ -178,6 +187,8 @@ def bin_splats(
         tile_y0=tile_y0,
         n_entries=total,
         n_dropped=n_dropped,
+        surv_counts=surv,
+        seg_starts=seg_starts,
     )
 
 
