@@ -495,10 +495,11 @@ class ObjectTrainer:
         optim = self.recon_optim
         self.guidance.stage_range = (140, 200)
         self.guidance.jump_range = (75, 150)
+        # fresh optimizer step count for the recon phase (the reference
+        # re-runs training_setup, object_trainer.py:717)
         self.state = dataclasses.replace(
-            self.state, opt=dataclasses.replace(
-                self.state.opt, count=jnp.zeros((), jnp.int32)
-            )
+            self.state,
+            opt=self.state.opt._replace(count=jnp.zeros((), jnp.int32)),
         )
 
         cams = S.load_reco_cam(
