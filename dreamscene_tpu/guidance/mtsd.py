@@ -185,6 +185,73 @@ def pseudo_gt_images(mods: GuidanceModules, scores, guidance_scale: float):
     return decode_latents(mods, x0)
 
 
+def denoise_ladder(
+    mods: GuidanceModules,
+    latents,
+    noise,
+    ts,                  # [R] descending-start ladder (ts[0] = start t)
+    text_emb,
+    n_rungs: int,
+    cfg: float = 1.0,
+    eta: float = 0.0,
+    is_noisy_latent: bool = False,
+):
+    """Full CFG *denoising* walk (reference denoise_with_cfg,
+    multitime_sd_utils.py:560-628): noise to ts[0], then step through the
+    ladder using the CFG-combined prediction. Returns the score list like
+    ladder_scores; the final latent is scores[-1][2]."""
+    b = latents.shape[0]
+    if is_noisy_latent:
+        lat = latents
+    else:
+        lat = add_noise(mods.schedule, latents, noise, jnp.full((b,), ts[0]))
+    outs = []
+    t_i = ts[0]
+    for i in range(n_rungs):
+        inp = jnp.concatenate([lat, lat, lat], axis=0)
+        t_b = jnp.full((3 * b,), t_i, jnp.int32)
+        eps = mods.unet_apply(mods.unet_params, inp, t_b, text_emb)
+        cond, uncond, blank = jnp.split(eps, 3, axis=0)
+        outs.append((t_i, (cond, uncond, blank), lat))
+        pred_noise = uncond + cfg * (cond - uncond)
+        if i + 1 < n_rungs:
+            t_next = ts[i + 1]
+            lat, _ = ddim_step(
+                mods.schedule, pred_noise, jnp.full((b,), t_i), lat,
+                t_i - t_next, eta,
+            )
+            t_i = t_next
+    return outs
+
+
+def guidance_viz_grid(mods: GuidanceModules, images, depths, alphas, latents,
+                      grad, scores, guidance_scale: float):
+    """Debug grid like the reference's per-interval dumps
+    (multitime_sd_utils.py:291-337): rendered rgb / depth / alpha /
+    saturation / latent-RGB preview / |grad| heatmap / decoded x0-hat per
+    rung. Returns a list of [3,H,W] arrays ready for utils.media.
+    save_image_grid."""
+    import jax.image
+
+    h, w = images.shape[-2:]
+    rows = [images[0], jnp.repeat(depths[0], 3, 0), jnp.repeat(alphas[0], 3, 0),
+            jnp.repeat(rgb2sat(images[:1])[0], 3, 0)]
+    lat_rgb = jnp.transpose(lat2rgb(latents[0]), (2, 0, 1))
+    rows.append(jax.image.resize(lat_rgb, (3, h, w), "nearest"))
+    g = jnp.abs(grad[0])
+    g = jnp.transpose(g.mean(-1, keepdims=True), (2, 0, 1))
+    g = g / jnp.maximum(g.max(), 1e-8)
+    rows.append(jnp.repeat(jax.image.resize(g, (1, h, w), "bilinear"), 3, 0))
+    for t_i, (cond, uncond, _), lat in scores[1:]:
+        pred = uncond + guidance_scale * (cond - uncond)
+        x0 = pred_original(
+            mods.schedule, pred, jnp.full((lat.shape[0],), t_i), lat
+        )
+        dec = decode_latents(mods, x0[:1])[0]
+        rows.append(jax.image.resize(dec, (3, h, w), "bilinear"))
+    return [np.asarray(r) for r in rows]
+
+
 def lat2rgb(latents):
     """Latent -> approximate RGB (viz; reference utils/viz_utils.py:6-12).
     latents NHWC."""

@@ -35,10 +35,24 @@ class UNetConfig:
     block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention_dim: int = 1024       # SD2.x; 768 for SD1.x
-    attention_head_dim: int = 64          # dim per head (SD2.x); 40/8-head SD1.x uses 8 heads
+    attention_head_dim: int = 64          # dim per head (SD2.x)
+    num_attention_heads: int | None = None  # fixed head count (SD1.x: 8)
     num_groups: int = 32
     with_cross_attn: Sequence[bool] = (True, True, True, False)
     dtype: jnp.dtype = jnp.bfloat16
+
+    def heads_for(self, ch: int) -> tuple[int, int]:
+        if self.num_attention_heads is not None:
+            return self.num_attention_heads, ch // self.num_attention_heads
+        return ch // self.attention_head_dim, self.attention_head_dim
+
+
+def sd15_unet_config() -> UNetConfig:
+    return UNetConfig(cross_attention_dim=768, num_attention_heads=8)
+
+
+def sd21_unet_config() -> UNetConfig:
+    return UNetConfig(cross_attention_dim=1024, attention_head_dim=64)
 
 
 def tiny_unet_config() -> UNetConfig:
@@ -195,9 +209,9 @@ class FlaxUNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock(ch, cfg.num_groups, dt, name=f"down_{i}_res_{j}")(x, temb)
                 if cfg.with_cross_attn[i]:
-                    heads = ch // cfg.attention_head_dim
+                    heads, hdim = cfg.heads_for(ch)
                     x = SpatialTransformer(
-                        ch, heads, cfg.attention_head_dim, cfg.cross_attention_dim,
+                        ch, heads, hdim, cfg.cross_attention_dim,
                         cfg.num_groups, dt, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
@@ -210,10 +224,10 @@ class FlaxUNet2DCondition(nn.Module):
 
         # mid
         ch = cfg.block_out_channels[-1]
-        heads = ch // cfg.attention_head_dim
+        heads, hdim = cfg.heads_for(ch)
         x = ResnetBlock(ch, cfg.num_groups, dt, name="mid_res_0")(x, temb)
         x = SpatialTransformer(
-            ch, heads, cfg.attention_head_dim, cfg.cross_attention_dim,
+            ch, heads, hdim, cfg.cross_attention_dim,
             cfg.num_groups, dt, name="mid_attn",
         )(x, context)
         x = ResnetBlock(ch, cfg.num_groups, dt, name="mid_res_1")(x, temb)
@@ -225,9 +239,9 @@ class FlaxUNet2DCondition(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlock(ch, cfg.num_groups, dt, name=f"up_{i}_res_{j}")(x, temb)
                 if cfg.with_cross_attn[i]:
-                    heads = ch // cfg.attention_head_dim
+                    heads, hdim = cfg.heads_for(ch)
                     x = SpatialTransformer(
-                        ch, heads, cfg.attention_head_dim, cfg.cross_attention_dim,
+                        ch, heads, hdim, cfg.cross_attention_dim,
                         cfg.num_groups, dt, name=f"up_{i}_attn_{j}",
                     )(x, context)
             if i > 0:
@@ -284,6 +298,31 @@ class VAEResnet(nn.Module):
         return x + h
 
 
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention in the VAE mid block
+    (diffusers AutoencoderKL mid_block.attentions.0)."""
+
+    channels: int
+    groups: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        res = x
+        y = nn.GroupNorm(num_groups=self.groups, name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        attn = jax.nn.softmax(
+            (q @ jnp.swapaxes(k, -1, -2)).astype(jnp.float32) * (c ** -0.5),
+            axis=-1,
+        ).astype(self.dtype)
+        y = nn.Dense(c, dtype=self.dtype, name="to_out_0")(attn @ v)
+        return res + y.reshape(b, h, w, c)
+
+
 class FlaxVAEEncoder(nn.Module):
     config: VAEConfig
 
@@ -302,11 +341,15 @@ class FlaxVAEEncoder(nn.Module):
                             name=f"down_{i}_downsample")(x)
         ch = cfg.block_out_channels[-1]
         x = VAEResnet(ch, cfg.num_groups, dt, name="mid_res_0")(x)
+        x = VAEAttention(ch, cfg.num_groups, dt, name="mid_attn")(x)
         x = VAEResnet(ch, cfg.num_groups, dt, name="mid_res_1")(x)
         x = nn.GroupNorm(num_groups=cfg.num_groups, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
+        # diffusers applies a 1x1 quant conv to the moments
+        x = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=jnp.float32,
+                    name="quant_conv")(x)
         return x.astype(jnp.float32)
 
 
@@ -318,10 +361,13 @@ class FlaxVAEDecoder(nn.Module):
         cfg = self.config
         dt = cfg.dtype
         ch = cfg.block_out_channels[-1]
+        z = nn.Conv(cfg.latent_channels, (1, 1), dtype=jnp.float32,
+                    name="post_quant_conv")(latents)
         x = nn.Conv(ch, (3, 3), padding=1, dtype=dt, name="conv_in")(
-            latents.astype(dt)
+            z.astype(dt)
         )
         x = VAEResnet(ch, cfg.num_groups, dt, name="mid_res_0")(x)
+        x = VAEAttention(ch, cfg.num_groups, dt, name="mid_attn")(x)
         x = VAEResnet(ch, cfg.num_groups, dt, name="mid_res_1")(x)
         for i, ch in reversed(list(enumerate(cfg.block_out_channels))):
             for j in range(cfg.layers_per_block + 1):

@@ -446,7 +446,41 @@ class ObjectTrainer:
 
         if self.step == 1500:
             self.gaussian_filtering(0.3)
+
+        if self.step % self.guidance_opt.vis_interval == 0:
+            try:
+                self.save_guidance_viz(cameras[0], vds)
+            except Exception as e:  # viz must never kill training
+                logger.debug("guidance viz failed: %s", e)
         return float(loss)
+
+    def save_guidance_viz(self, camera, vds):
+        """Per-interval guidance debug grid (reference:
+        multitime_sd_utils.py:291-337)."""
+        from dreamscene_tpu.utils.media import save_image_grid
+
+        g = self.guidance
+        out = object_render(self.state, camera, bg_color=self._bg_color(),
+                            test=True, interpret=self.interpret)
+        images = out["image"][None]
+        depths = out["depth"][None][None]
+        alphas = out["alpha"][None][None]
+        latents = mtsd.encode_images(g.mods, images, g.next_vae_key())
+        ladder = g.sample_ladder(min(self.step / self.optim.iterations, 1.0))
+        noise = g.next_noise(latents.shape)
+        text_emb, _ = assemble_text_embeddings(self.embeddings, [camera])
+        scores = mtsd.ladder_scores(
+            g.mods, latents, noise, jnp.asarray(ladder, jnp.int32), text_emb,
+            n_rungs=len(ladder),
+        )
+        grad = mtsd.csd_grad(g.mods, scores, self.guidance_opt.guidance_scale)
+        rows = mtsd.guidance_viz_grid(
+            g.mods, images, depths[0], alphas[0], latents, grad, scores,
+            self.guidance_opt.guidance_scale,
+        )
+        path = (self.vis_path /
+                f"{self.id}_iter_{self.step}_vd_{'_'.join(vds)}.jpg")
+        save_image_grid(str(path), rows)
 
     def _mode_arg(self, name, default):
         ma = self.cfg.mode_args or {}
