@@ -224,24 +224,25 @@ def denoise_ladder(
     return outs
 
 
-def guidance_viz_grid(mods: GuidanceModules, images, depths, alphas, latents,
+def guidance_viz_grid(mods: GuidanceModules, images, depth, alpha, latents,
                       grad, scores, guidance_scale: float):
     """Debug grid like the reference's per-interval dumps
     (multitime_sd_utils.py:291-337): rendered rgb / depth / alpha /
     saturation / latent-RGB preview / |grad| heatmap / decoded x0-hat per
-    rung. Returns a list of [3,H,W] arrays ready for utils.media.
-    save_image_grid."""
+    rung. images [B,3,H,W]; depth/alpha [H,W]; latents/grad [B,h,w,4].
+    Returns a list of [3,H,W] arrays for utils.media.save_image_grid."""
     import jax.image
 
     h, w = images.shape[-2:]
-    rows = [images[0], jnp.repeat(depths[0], 3, 0), jnp.repeat(alphas[0], 3, 0),
+    rows = [images[0],
+            jnp.repeat(depth[None], 3, 0),
+            jnp.repeat(alpha[None], 3, 0),
             jnp.repeat(rgb2sat(images[:1])[0], 3, 0)]
     lat_rgb = jnp.transpose(lat2rgb(latents[0]), (2, 0, 1))
     rows.append(jax.image.resize(lat_rgb, (3, h, w), "nearest"))
-    g = jnp.abs(grad[0])
-    g = jnp.transpose(g.mean(-1, keepdims=True), (2, 0, 1))
+    g = jnp.abs(grad[0]).mean(-1)                 # [h, w]
     g = g / jnp.maximum(g.max(), 1e-8)
-    rows.append(jnp.repeat(jax.image.resize(g, (1, h, w), "bilinear"), 3, 0))
+    rows.append(jnp.repeat(jax.image.resize(g, (h, w), "bilinear")[None], 3, 0))
     for t_i, (cond, uncond, _), lat in scores[1:]:
         pred = uncond + guidance_scale * (cond - uncond)
         x0 = pred_original(

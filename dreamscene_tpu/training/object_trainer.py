@@ -173,7 +173,8 @@ class ObjectTrainer:
         self.recon_optim = cfg.reconOptimizationParams
         self.obj = cfg.objectParams
         self.id = obj_id or self.obj.id
-        self.interpret = interpret
+        # Pallas runs compiled on TPU; interpreter elsewhere (CPU dev runs)
+        self.interpret = interpret or jax.default_backend() == "cpu"
 
         exp_name = getattr(cfg.log, "exp_name", None) if isinstance(
             getattr(cfg, "log", None), object) and cfg.log else None
@@ -463,8 +464,6 @@ class ObjectTrainer:
         out = object_render(self.state, camera, bg_color=self._bg_color(),
                             test=True, interpret=self.interpret)
         images = out["image"][None]
-        depths = out["depth"][None][None]
-        alphas = out["alpha"][None][None]
         latents = mtsd.encode_images(g.mods, images, g.next_vae_key())
         ladder = g.sample_ladder(min(self.step / self.optim.iterations, 1.0))
         noise = g.next_noise(latents.shape)
@@ -475,7 +474,7 @@ class ObjectTrainer:
         )
         grad = mtsd.csd_grad(g.mods, scores, self.guidance_opt.guidance_scale)
         rows = mtsd.guidance_viz_grid(
-            g.mods, images, depths[0], alphas[0], latents, grad, scores,
+            g.mods, images, out["depth"], out["alpha"], latents, grad, scores,
             self.guidance_opt.guidance_scale,
         )
         path = (self.vis_path /

@@ -108,7 +108,7 @@ class SceneTrainer:
         self.scene_pose_args = cfg.sceneGenerateCamParams
         self.guidance_opt = cfg.guidanceParams
         self.dataset_args = cfg.modelParams
-        self.interpret = interpret
+        self.interpret = interpret or jax.default_backend() == "cpu"
         self.env_density = env_density  # <1 shrinks env/floor inits (tests)
 
         exp_name = (cfg.log or {}).get("exp_name", "default") if isinstance(
