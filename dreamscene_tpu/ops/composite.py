@@ -245,23 +245,28 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    # suffix S_ch[g] = c_final_ch - prefix_incl_ch[g]; accumulate
-    # galpha = t_excl*(c_g . g) - (S . g)/(1-a) - g_T * t_final/(1-a)
+    # suffix S_ch[g] = c_final_ch - acc_ch - (L_incl @ w c_ch)[g]; we need
+    # sdotg = sum_ch S_ch * g_ch. The cotangents g_ch are per-PIXEL, so
+    # they commute through the entry-axis prefix matmul:
+    #   sum_ch (L @ (w*c_ch)) * g_ch  ==  L @ (w * sum_ch c_ch*g_ch)
+    # which collapses the four per-channel prefixes into ONE matmul.
     cg_dot = jax.lax.dot_general(
         cd, g_rgbd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                 # [CHUNK, 256] c_g . g per pixel
-    # running prefix: for each channel ch: P_ch = acc + L_incl @ (w * c_ch)
-    sdotg = jnp.zeros((chunk, TILE_PIX), jnp.float32)
-    for ch in range(4):
-        wc = contrib * cd[:, ch][:, None]             # [CHUNK, 256]
-        prefix = acc_ref[ch, :][None, :] + jax.lax.dot_general(
-            l_incl, wc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        suffix = c_final[ch, :][None, :] - prefix
-        sdotg += suffix * g_rgbd[ch, :][None, :]
-        acc_ref[ch, :] += jnp.sum(wc, axis=0)
+    )                                                 # [CHUNK, 256] c_g . g
+    prefix_dot = jax.lax.dot_general(
+        l_incl, contrib * cg_dot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # [CHUNK, 256]
+    cf_dot = jnp.sum(c_final * g_rgbd, axis=0, keepdims=True)      # [1,256]
+    acc_dot = jnp.sum(acc_ref[A_R:A_DEPTH + 1, :] * g_rgbd, axis=0,
+                      keepdims=True)
+    sdotg = cf_dot - acc_dot - prefix_dot
+    # replayed accumulator update (same matmul as the forward)
+    acc_ref[A_R:A_DEPTH + 1, :] += jax.lax.dot_general(
+        cd, contrib, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     inv_q = 1.0 / q
     galpha = t_excl * cg_dot - sdotg * inv_q - g_t * t_final * inv_q

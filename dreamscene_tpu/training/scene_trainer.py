@@ -664,7 +664,8 @@ class SceneTrainer:
                         frames)
 
     # ------------------------------------------------------------------
-    def train(self, n_stage3: int = 25):
+    def train(self, n_stage3: int = 25, make_videos: bool = False,
+              video_every: int = 300):
         # 1. objects
         for obj_cfg in self.scene_objects:
             self.object_task(obj_cfg)
@@ -682,6 +683,11 @@ class SceneTrainer:
             )
         self.scene_cams_inference += loader.Circle(circle_size=24)
 
+        # render-only mode (reference: scene_trainer.py:521-523)
+        if getattr(self.cfg, "only_render", False):
+            self.scene_only_render()
+            return
+
         # 3. stage 1: env
         self.n_stage1 = self.cfg.sceneOptimizationParams.iterations
         if self.scene.stage_n == 0:
@@ -695,6 +701,11 @@ class SceneTrainer:
                     batch, "env",
                     only_env=(self.cam_pose_method == "outdoor"),
                 )
+                if make_videos and (i + 1) % video_every == 0:
+                    self.scene_video_inference(
+                        str(self.step + self.current_prev_n),
+                        only_env=(self.cam_pose_method == "outdoor"),
+                    )
             self.scene.stage_n = 1
             self.save_ckpt()
         self.current_prev_n += self.n_stage1
@@ -714,6 +725,11 @@ class SceneTrainer:
             for i in range(self.n_stage2):
                 batch = cams[i * c_batch:(i + 1) * c_batch]
                 self.scene_train_step(batch, "floor", only_env=False)
+                if make_videos and (i + 1) % max(video_every - 100, 1) == 0:
+                    self.scene_video_inference(
+                        str(self.step + self.current_prev_n),
+                        only_env=(self.cam_pose_method == "outdoor"),
+                    )
             self.scene.stage_n = 2
             self.save_ckpt()
         self.current_prev_n += self.n_stage2
@@ -732,6 +748,8 @@ class SceneTrainer:
                 self.scene_refine_phase(only_env=False, scene_optim=True)
             self.scene.stage_n = 3
             self.save_ckpt()
+        if make_videos:
+            self.scene_video_inference("final")
 
         # 6. final combine
         states = self._states(self._visible_names(False))
