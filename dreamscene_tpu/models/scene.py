@@ -170,6 +170,31 @@ class SceneModel:
         return states
 
 
+def export_layout(scene_box: np.ndarray, objects_args: list, path: str,
+                  seed: int = 0) -> None:
+    """Top-down 2D layout image with one labeled box per placed object
+    (reference export_layout, scene_gaussian.py:249-301)."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    w = float(scene_box[3] - scene_box[0])
+    h = float(scene_box[4] - scene_box[1])
+    if w <= 0 or h <= 0:
+        return
+    scale = 1024.0 / max(w, h)
+    layout = np.zeros((int(scale * h), int(scale * w), 3))
+    for oa in objects_args:
+        lb = (int(scale * (oa.bbox[0] - scene_box[0])),
+              int(scale * (scene_box[4] - oa.bbox[1])))
+        rt = (int(scale * (oa.bbox[3] - scene_box[0])),
+              int(scale * (scene_box[4] - oa.bbox[4])))
+        color = tuple(int(c) for c in rng.randint(0, 255, 3))
+        cv2.rectangle(layout, lb, rt, color=color, thickness=2)
+        cv2.putText(layout, f"{oa.object_id}_{oa.clas}", lb,
+                    cv2.FONT_HERSHEY_COMPLEX, 1, (255, 255, 255), 1)
+    cv2.imwrite(path, layout)
+
+
 def final_combine_all(states: list[GaussianState]) -> GaussianState:
     """Concatenate models into one (active splats only padded to summed
     capacity; reference final_combine_all, scene_gaussian.py:519-544)."""

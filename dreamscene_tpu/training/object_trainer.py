@@ -686,6 +686,30 @@ class ObjectTrainer:
         logger.info("saved %s", path)
 
     # ------------------------------------------------------------------
+    def _resume_intermediate(self):
+        """Restore the highest `<id>_<step>_model.ply` snapshot and
+        fast-forward (reference ckpt_checker, scene_gaussian.py:53-80;
+        object_trainer.py:709-711)."""
+        best, best_path = 0, None
+        for f in os.listdir(self.ckpt_path):
+            parts = f.split("_")
+            if (f.endswith("_model.ply") and parts[0] == self.id
+                    and parts[1].isdigit() and int(parts[1]) > best):
+                best, best_path = int(parts[1]), self.ckpt_path / f
+        if best_path is not None:
+            logger.info("resuming %s from step %d", self.id, best)
+            cap = min(4 * self._loaded_count(best_path),
+                      self.optim.max_point_number)
+            self.state = load_splat_ply(str(best_path), capacity=cap)
+            self.step = best
+
+    @staticmethod
+    def _loaded_count(path) -> int:
+        from dreamscene_tpu.models.ply import _parse_ply
+
+        _, data = _parse_ply(str(path))
+        return max(data.shape[0], 1)
+
     def train(self, video_every: int = 500, make_videos: bool = False):
         final = self.ckpt_path / f"{self.id}_final_model.ply"
         if final.exists():
@@ -694,8 +718,9 @@ class ObjectTrainer:
             return
 
         self.prepare_train()
+        self._resume_intermediate()
         if not self.recon_optim.only_recon_stage:
-            for _ in range(self.optim.iterations):
+            for _ in range(self.step, self.optim.iterations):
                 self.train_step()
                 if make_videos and self.step % video_every == 0:
                     self.video_inference(str(self.step))

@@ -216,6 +216,11 @@ class SceneTrainer:
             capacity=min(int(floor_pts.shape[0] * 1.5), max_pts // 3),
         )
 
+        from dreamscene_tpu.models.scene import export_layout
+
+        export_layout(self.scene.scene_box, self.scene.objects_args,
+                      str(self.exp_path / "layout.jpg"), seed=self.cfg.seed)
+
         self.embeddings = calc_scene_text_embeddings(
             self.guidance, sc.get("scene_text", ""),
             sc.get("negative_text", ""), self.cam_pose_method,
