@@ -182,7 +182,7 @@ def export_layout(scene_box: np.ndarray, objects_args: list, path: str,
     if w <= 0 or h <= 0:
         return
     scale = 1024.0 / max(w, h)
-    layout = np.zeros((int(scale * h), int(scale * w), 3))
+    layout = np.zeros((int(scale * h), int(scale * w), 3), np.uint8)
     for oa in objects_args:
         lb = (int(scale * (oa.bbox[0] - scene_box[0])),
               int(scale * (scene_box[4] - oa.bbox[1])))

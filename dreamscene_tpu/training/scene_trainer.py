@@ -218,8 +218,12 @@ class SceneTrainer:
 
         from dreamscene_tpu.models.scene import export_layout
 
-        export_layout(self.scene.scene_box, self.scene.objects_args,
-                      str(self.exp_path / "layout.jpg"), seed=self.cfg.seed)
+        try:
+            export_layout(self.scene.scene_box, self.scene.objects_args,
+                          str(self.exp_path / "layout.jpg"),
+                          seed=self.cfg.seed)
+        except Exception as e:  # layout is debug output, never fatal
+            logger.debug("layout export failed: %s", e)
 
         self.embeddings = calc_scene_text_embeddings(
             self.guidance, sc.get("scene_text", ""),
