@@ -135,22 +135,31 @@ def _fwd_kernel(
         acc_ref[:] = jnp.zeros((ACC_ROWS, TILE_PIX), jnp.float32)
         acc_ref[A_T, :] = jnp.ones((TILE_PIX,), jnp.float32)
 
-    px, py = _pixel_coords(tile_x0_ref[c], tile_y0_ref[c])
-    t_carry = acc_ref[A_T, :][None, :]
+    # chunk-level early termination: if every pixel of the tile is already
+    # saturated (T < eps), later chunks cannot contribute (T only decays) —
+    # skip the whole chunk's math (the CUDA kernel's per-pixel `done` flag,
+    # lifted to chunk granularity).
+    live = jnp.max(acc_ref[A_T, :]) >= TRANSMITTANCE_EPS
 
-    v = _chunk_alpha(rec, px, py, t_carry)
-    contrib = v["contrib"]
+    @pl.when(live)
+    def _composite_chunk():
+        px, py = _pixel_coords(tile_x0_ref[c], tile_y0_ref[c])
+        t_carry = acc_ref[A_T, :][None, :]
 
-    # rgb+depth accumulation: [4, CHUNK] @ [CHUNK, 256]
-    cd = jnp.concatenate(
-        [rec[:, F_R:F_B + 1], rec[:, F_DEPTH][:, None]], axis=1
-    )                                                 # [CHUNK, 4]
-    acc_new = jax.lax.dot_general(
-        cd, contrib, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                 # [4, 256]
-    acc_ref[A_R:A_DEPTH + 1, :] += acc_new
-    acc_ref[A_T, :] = v["t_new"][0]
+        v = _chunk_alpha(rec, px, py, t_carry)
+        contrib = v["contrib"]
+
+        # rgb+depth accumulation: [4, CHUNK] @ [CHUNK, 256]
+        cd = jnp.concatenate(
+            [rec[:, F_R:F_B + 1], rec[:, F_DEPTH][:, None]], axis=1
+        )                                                 # [CHUNK, 4]
+        acc_new = jax.lax.dot_general(
+            cd, contrib, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [4, 256]
+        acc_ref[A_R:A_DEPTH + 1, :] += acc_new
+        acc_ref[A_T, :] = v["t_new"][0]
+
     out_ref[0] = acc_ref[:]
 
 
@@ -218,90 +227,97 @@ def _bwd_kernel(
         acc_ref[:] = jnp.zeros((ACC_ROWS, TILE_PIX), jnp.float32)
         acc_ref[A_T, :] = jnp.ones((TILE_PIX,), jnp.float32)
 
-    px, py = _pixel_coords(tile_x0_ref[c], tile_y0_ref[c])
-    t_carry = acc_ref[A_T, :][None, :]
+    # chunk-level early termination (see forward kernel): a saturated
+    # tile contributes nothing and receives no gradients.
+    live = jnp.max(acc_ref[A_T, :]) >= TRANSMITTANCE_EPS
+    grec_ref[:] = jnp.zeros((chunk, REC_WIDTH), jnp.float32)
 
-    v = _chunk_alpha(rec, px, py, t_carry)
-    alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
-    q, t_excl = v["q"], v["t_excl"]
+    @pl.when(live)
+    def _backward_chunk():
+        px, py = _pixel_coords(tile_x0_ref[c], tile_y0_ref[c])
+        t_carry = acc_ref[A_T, :][None, :]
 
-    cd = jnp.concatenate(
-        [rec[:, F_R:F_B + 1], rec[:, F_DEPTH][:, None]], axis=1
-    )                                                 # [CHUNK, 4] rgb+depth
-    # per-channel weighted contributions and their within-chunk inclusive
-    # prefix: prefix_incl[g] = acc_before_chunk + sum_{h<=g} w_h c_h
-    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    l_incl = (col <= row).astype(jnp.float32)
+        v = _chunk_alpha(rec, px, py, t_carry)
+        alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
+        q, t_excl = v["q"], v["t_excl"]
 
-    g_rgbd = grad_ref[0, A_R:A_DEPTH + 1, :]          # [4, 256] cotangents
-    g_t = grad_ref[0, A_T, :][None, :]                # [1, 256]
-    c_final = final_ref[0, A_R:A_DEPTH + 1, :]        # [4, 256] final accums
-    t_final = final_ref[0, A_T, :][None, :]
+        cd = jnp.concatenate(
+            [rec[:, F_R:F_B + 1], rec[:, F_DEPTH][:, None]], axis=1
+        )                                                 # [CHUNK, 4] rgb+depth
+        # per-channel weighted contributions and their within-chunk inclusive
+        # prefix: prefix_incl[g] = acc_before_chunk + sum_{h<=g} w_h c_h
+        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        l_incl = (col <= row).astype(jnp.float32)
 
-    # dL/dcolor_g (and depth): w_g . g_ch  -> [CHUNK, 4]
-    gcd = jax.lax.dot_general(
-        contrib, g_rgbd, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        g_rgbd = grad_ref[0, A_R:A_DEPTH + 1, :]          # [4, 256] cotangents
+        g_t = grad_ref[0, A_T, :][None, :]                # [1, 256]
+        c_final = final_ref[0, A_R:A_DEPTH + 1, :]        # [4, 256] final accums
+        t_final = final_ref[0, A_T, :][None, :]
 
-    # suffix S_ch[g] = c_final_ch - acc_ch - (L_incl @ w c_ch)[g]; we need
-    # sdotg = sum_ch S_ch * g_ch. The cotangents g_ch are per-PIXEL, so
-    # they commute through the entry-axis prefix matmul:
-    #   sum_ch (L @ (w*c_ch)) * g_ch  ==  L @ (w * sum_ch c_ch*g_ch)
-    # which collapses the four per-channel prefixes into ONE matmul.
-    cg_dot = jax.lax.dot_general(
-        cd, g_rgbd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                 # [CHUNK, 256] c_g . g
-    prefix_dot = jax.lax.dot_general(
-        l_incl, contrib * cg_dot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                 # [CHUNK, 256]
-    cf_dot = jnp.sum(c_final * g_rgbd, axis=0, keepdims=True)      # [1,256]
-    acc_dot = jnp.sum(acc_ref[A_R:A_DEPTH + 1, :] * g_rgbd, axis=0,
-                      keepdims=True)
-    sdotg = cf_dot - acc_dot - prefix_dot
-    # replayed accumulator update (same matmul as the forward)
-    acc_ref[A_R:A_DEPTH + 1, :] += jax.lax.dot_general(
-        cd, contrib, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        # dL/dcolor_g (and depth): w_g . g_ch  -> [CHUNK, 4]
+        gcd = jax.lax.dot_general(
+            contrib, g_rgbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    inv_q = 1.0 / q
-    galpha = t_excl * cg_dot - sdotg * inv_q - g_t * t_final * inv_q
-    # only entries that were actually composited get gradient
-    galpha = galpha * applied * (alpha > 0.0).astype(jnp.float32)
+        # suffix S_ch[g] = c_final_ch - acc_ch - (L_incl @ w c_ch)[g]; we need
+        # sdotg = sum_ch S_ch * g_ch. The cotangents g_ch are per-PIXEL, so
+        # they commute through the entry-axis prefix matmul:
+        #   sum_ch (L @ (w*c_ch)) * g_ch  ==  L @ (w * sum_ch c_ch*g_ch)
+        # which collapses the four per-channel prefixes into ONE matmul.
+        cg_dot = jax.lax.dot_general(
+            cd, g_rgbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [CHUNK, 256] c_g . g
+        prefix_dot = jax.lax.dot_general(
+            l_incl, contrib * cg_dot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [CHUNK, 256]
+        cf_dot = jnp.sum(c_final * g_rgbd, axis=0, keepdims=True)      # [1,256]
+        acc_dot = jnp.sum(acc_ref[A_R:A_DEPTH + 1, :] * g_rgbd, axis=0,
+                          keepdims=True)
+        sdotg = cf_dot - acc_dot - prefix_dot
+        # replayed accumulator update (same matmul as the forward)
+        acc_ref[A_R:A_DEPTH + 1, :] += jax.lax.dot_general(
+            cd, contrib, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    # through alpha = min(0.99, opa*exp(power)), skip-clamps zero elsewhere
-    unclamped = (v["raw"] < ALPHA_MAX).astype(jnp.float32)
-    g_exp = galpha * unclamped                        # d wrt (opa*G) pre-clamp
-    gpower = g_exp * v["raw"]                         # [CHUNK, 256]
-    opa = rec[:, F_OPA][:, None]
-    g_opa = jnp.sum(g_exp * jnp.exp(v["power"]), axis=1)   # [CHUNK]
+        inv_q = 1.0 / q
+        galpha = t_excl * cg_dot - sdotg * inv_q - g_t * t_final * inv_q
+        # only entries that were actually composited get gradient
+        galpha = galpha * applied * (alpha > 0.0).astype(jnp.float32)
 
-    dx, dy = v["dx"], v["dy"]
-    ca = rec[:, F_CA][:, None]
-    cb = rec[:, F_CB][:, None]
-    cc = rec[:, F_CC][:, None]
-    # power = -0.5(ca dx^2 + cc dy^2) - cb dx dy ; d/ddx with dx = mx - px
-    g_mx = jnp.sum(gpower * (-(ca * dx + cb * dy)), axis=1)
-    g_my = jnp.sum(gpower * (-(cc * dy + cb * dx)), axis=1)
-    g_ca = jnp.sum(gpower * (-0.5 * dx * dx), axis=1)
-    g_cb = jnp.sum(gpower * (-dx * dy), axis=1)
-    g_cc = jnp.sum(gpower * (-0.5 * dy * dy), axis=1)
+        # through alpha = min(0.99, opa*exp(power)), skip-clamps zero elsewhere
+        unclamped = (v["raw"] < ALPHA_MAX).astype(jnp.float32)
+        g_exp = galpha * unclamped                        # d wrt (opa*G) pre-clamp
+        gpower = g_exp * v["raw"]                         # [CHUNK, 256]
+        opa = rec[:, F_OPA][:, None]
+        g_opa = jnp.sum(g_exp * jnp.exp(v["power"]), axis=1)   # [CHUNK]
 
-    acc_ref[A_T, :] = v["t_new"][0]
+        dx, dy = v["dx"], v["dy"]
+        ca = rec[:, F_CA][:, None]
+        cb = rec[:, F_CB][:, None]
+        cc = rec[:, F_CC][:, None]
+        # power = -0.5(ca dx^2 + cc dy^2) - cb dx dy ; d/ddx with dx = mx - px
+        g_mx = jnp.sum(gpower * (-(ca * dx + cb * dy)), axis=1)
+        g_my = jnp.sum(gpower * (-(cc * dy + cb * dx)), axis=1)
+        g_ca = jnp.sum(gpower * (-0.5 * dx * dx), axis=1)
+        g_cb = jnp.sum(gpower * (-dx * dy), axis=1)
+        g_cc = jnp.sum(gpower * (-0.5 * dy * dy), axis=1)
 
-    # column order must match the record layout F_MX..F_DEPTH (0..9)
-    grec_ref[:] = jnp.concatenate(
-        [
-            g_mx[:, None], g_my[:, None], g_ca[:, None], g_cb[:, None],
-            g_cc[:, None], g_opa[:, None], gcd,
-            jnp.zeros((chunk, REC_WIDTH - 10), jnp.float32),
-        ],
-        axis=1,
-    )
+        acc_ref[A_T, :] = v["t_new"][0]
+
+        # column order must match the record layout F_MX..F_DEPTH (0..9)
+        grec_ref[:] = jnp.concatenate(
+            [
+                g_mx[:, None], g_my[:, None], g_ca[:, None], g_cb[:, None],
+                g_cc[:, None], g_opa[:, None], gcd,
+                jnp.zeros((chunk, REC_WIDTH - 10), jnp.float32),
+            ],
+            axis=1,
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "chunk", "interpret"))
