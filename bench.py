@@ -19,7 +19,7 @@ import numpy as np
 
 N_GAUSSIANS = 300_000
 WIDTH = HEIGHT = 512
-ITERS = 20
+ITERS = 10
 CUDA_NOMINAL_PIXPS = 26.2e6
 
 
