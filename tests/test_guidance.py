@@ -129,3 +129,26 @@ class TestLadder:
         n1 = g.next_noise((1, 8, 8, 4))
         n2 = g.next_noise((1, 8, 8, 4))
         np.testing.assert_allclose(n1, n2)
+
+
+class TestDenoiseLadder:
+    def test_full_cfg_denoise_walk(self):
+        """denoise_ladder steps DOWN the ladder with CFG (reference
+        denoise_with_cfg, multitime_sd_utils.py:560-628)."""
+        import jax
+
+        opt = GuidanceParams()
+        g = mtsd.make_tiny_guidance(opt)
+        lat = jnp.zeros((1, 8, 8, 4))
+        noise = mtsd.make_ladder_noise(jax.random.key(3), lat.shape)
+        ts = jnp.asarray([600, 400, 200], jnp.int32)
+        text = g.get_text_embeds(["a", "neg", "inv"])
+        scores = mtsd.denoise_ladder(
+            g.mods, lat, noise, ts, text, n_rungs=3, cfg=7.5
+        )
+        assert len(scores) == 3
+        final_lat = scores[-1][2]
+        assert final_lat.shape == lat.shape
+        assert np.isfinite(np.asarray(final_lat)).all()
+        # the walk started from the t=600 noised latent, not the clean one
+        assert not np.allclose(np.asarray(final_lat), np.asarray(lat))
