@@ -70,37 +70,51 @@ _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
 @jax.custom_vjp
-def gather_records(rec_n, gid, surv, seg_starts):
-    """records[p] = rec_n[gid[p]] (0 for padding). Custom VJP: the natural
-    scatter-add back to splats serializes on TPU (measured 92ms at 1.33M
-    entries); instead sort (gid, position) pairs, gather the grad rows into
-    gid-contiguous order, and reduce each splat's segment with a cumsum
-    difference (XLA's log-tree cumsum keeps fp32 error ~1e-6 relative) —
-    ~2x faster and deterministic."""
-    return jnp.where((gid >= 0)[:, None], rec_n[jnp.maximum(gid, 0)], 0.0)
+def gather_records(rec_n, perm, inv_perm, entry_rank, pos_of_entry, surv,
+                   seg_starts):
+    """records[p] = rec_n[perm[entry_rank[p]]] (0 for padding), as two row
+    gathers (N-row depth reorder, then the big rank gather).
+
+    Custom VJP: the natural scatter-add back to splats serializes on TPU
+    (measured 92ms at 1.33M entries). Because binning expands entries in
+    depth-rank order, each splat's entries are CONTIGUOUS in expansion
+    order — so the backward needs no sort at all: gather the grad rows
+    into expansion order via `pos_of_entry` (precomputed in binning with
+    one int scatter), reduce each rank's segment with a cumsum difference
+    (XLA's log-tree cumsum keeps fp32 error ~1e-6 relative), and undo the
+    depth permutation with one small row gather."""
+    rec_d = rec_n[perm]
+    return jnp.where(
+        (entry_rank >= 0)[:, None], rec_d[jnp.maximum(entry_rank, 0)], 0.0
+    )
 
 
-def _gather_records_fwd(rec_n, gid, surv, seg_starts):
-    out = gather_records(rec_n, gid, surv, seg_starts)
-    return out, (gid, surv, seg_starts, rec_n.shape[0])
+def _gather_records_fwd(rec_n, perm, inv_perm, entry_rank, pos_of_entry,
+                        surv, seg_starts):
+    out = gather_records(rec_n, perm, inv_perm, entry_rank, pos_of_entry,
+                         surv, seg_starts)
+    return out, (inv_perm, pos_of_entry, surv, seg_starts)
 
 
 def _gather_records_bwd(res, grec):
-    gid, surv, seg_starts, n = res
-    pad_cap = gid.shape[0]
-    p = jnp.arange(pad_cap, dtype=jnp.int32)
-    _, p_s = jax.lax.sort((gid, p), num_keys=1)
-    grec_sorted = grec[p_s]                       # [pad_cap, 16] gid-contig
-    csum = jnp.cumsum(grec_sorted, axis=0)
-    ends = seg_starts + surv                      # exclusive
-    top = csum[jnp.clip(ends - 1, 0, pad_cap - 1)]
+    inv_perm, pos_of_entry, surv, seg_starts = res
+    pad_cap = grec.shape[0]
+    capacity = pos_of_entry.shape[0]
+    grec_pad = jnp.concatenate(
+        [grec, jnp.zeros((1, grec.shape[1]), grec.dtype)], axis=0
+    )
+    grec_e = grec_pad[jnp.minimum(pos_of_entry, pad_cap)]  # [capacity, 16]
+    csum = jnp.cumsum(grec_e, axis=0)
+    ends = seg_starts + surv                      # exclusive, rank order
+    top = csum[jnp.clip(ends - 1, 0, capacity - 1)]
     bot = jnp.where(
         (seg_starts > 0)[:, None],
-        csum[jnp.clip(seg_starts - 1, 0, pad_cap - 1)],
+        csum[jnp.clip(seg_starts - 1, 0, capacity - 1)],
         0.0,
     )
-    grad_n = jnp.where((surv > 0)[:, None], top - bot, 0.0)
-    return grad_n, None, None, None
+    grad_rank = jnp.where((surv > 0)[:, None], top - bot, 0.0)   # [N, 16]
+    grad_n = grad_rank[inv_perm]
+    return grad_n, None, None, None, None, None, None
 
 
 gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
@@ -187,9 +201,10 @@ def render(
         ],
         axis=1,
     )
-    gid = binned.entry_gid
     records = gather_records(
-        rec_n.astype(jnp.float32), gid, binned.surv_counts, binned.seg_starts
+        rec_n.astype(jnp.float32), binned.perm, binned.inv_perm,
+        binned.entry_rank, binned.pos_of_entry, binned.surv_counts,
+        binned.seg_starts,
     )
 
     tiles_out = _composite(
