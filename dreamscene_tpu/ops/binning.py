@@ -15,18 +15,19 @@ entry table**:
   3. entries are sorted by a SINGLE packed uint32 key `(tile << S) | rank`
      carrying only the entry index as payload (falls back to a 2-key sort
      when tile/rank bits exceed 32); per-tile runs come out front-to-back;
-  4. every tile's run is padded to a multiple of CHUNK entries (min one
-     chunk, so empty tiles still emit background) and re-scattered into a
-     padded table whose chunk c maps to exactly one tile — this is what
-     lets the composite kernel run a flat 1D grid with automatically
-     pipelined record fetches.
+  4. instead of materializing a chunk-padded record table (measured ~25ms
+     of XLA gather/select at 1.2M entries), binning emits tiny per-chunk
+     metadata (tile, start row, live rows, tile-start flag) and the
+     composite mega-kernel streams CHUNK-row slices of the *sorted*
+     record table straight from HBM at those dynamic offsets
+     (ops/composite.py).
 
 Because expansion happens in depth-rank order, each splat's entries are
 contiguous *in expansion order* — so the backward record-gather reduction
-needs NO sort: `pos_of_entry` (padded-table position of each expansion
-entry, one int scatter here) lets the VJP gather grad rows into
-rank-contiguous order and segment-reduce with a cumsum difference
-(ops/rasterizer.gather_records).
+needs NO scatter: `pos_of_entry` (the chunk-aligned grad-table position of
+each expansion entry, recovered with one cheap 2-operand sort) lets the
+VJP gather grad rows into rank-contiguous order and segment-reduce with a
+cumsum difference (ops/rasterizer.gather_records).
 
 Overflow beyond `capacity` drops the *farthest* splats (graceful quality
 degradation, reported via `n_dropped`).
@@ -48,25 +49,28 @@ def cdiv(a: int, b: int) -> int:
 
 
 class BinnedSplats(NamedTuple):
-    entry_rank: jnp.ndarray    # [padded_capacity] int32 depth rank, -1 = empty
-    tile_of_chunk: jnp.ndarray  # [n_chunks] int32 tile id (n_tiles = trash)
-    first_chunk: jnp.ndarray   # [n_chunks] int32 1 if first chunk of its tile
-    tile_x0: jnp.ndarray       # [n_chunks] int32 tile pixel origin x
-    tile_y0: jnp.ndarray       # [n_chunks] int32 tile pixel origin y
+    rank_sorted: jnp.ndarray   # [capacity] int32 depth rank of sorted entry
+    chunk_tile: jnp.ndarray    # [n_chunks] int32 tile id (n_tiles = trash)
+    chunk_s0: jnp.ndarray      # [n_chunks] int32 128-aligned sorted column
+    chunk_lo: jnp.ndarray      # [n_chunks] int32 first live lane of chunk
+    chunk_hi: jnp.ndarray      # [n_chunks] int32 end of live lanes
+    chunk_first: jnp.ndarray   # [n_chunks+1] int32 1 = chunk starts a tile
     n_entries: jnp.ndarray     # [] int32 actual entries before padding
     n_dropped: jnp.ndarray     # [] int32 entries lost to capacity overflow
     perm: jnp.ndarray          # [N] int32 depth rank -> original splat id
     inv_perm: jnp.ndarray      # [N] int32 original splat id -> depth rank
     surv_counts: jnp.ndarray   # [N] int32 surviving entries per rank
     seg_starts: jnp.ndarray    # [N] int32 expansion-order segment start per rank
-    pos_of_entry: jnp.ndarray  # [capacity] int32 padded position of entry e
-                               # (= padded_capacity for absent entries)
+    pos_of_entry: jnp.ndarray  # [capacity] int32 grad-table position of entry e
 
 
-def padded_capacity(capacity: int, n_tiles: int, chunk: int) -> int:
-    """Static size of the padded entry table."""
-    cap = cdiv(capacity, chunk) * chunk + n_tiles * chunk
-    return cap
+ALIGN = 128   # DMA lane alignment of chunk starts
+
+
+def max_chunks(capacity: int, n_tiles: int, chunk: int) -> int:
+    """Static chunk-count bound: every tile can gain a partial chunk at
+    each end (aligned start overlap + ragged tail)."""
+    return cdiv(capacity, chunk) + 2 * n_tiles
 
 
 def bin_splats(
@@ -79,17 +83,17 @@ def bin_splats(
     capacity: int,
     chunk: int = 128,
 ) -> BinnedSplats:
-    """Build the padded, tile-sorted, depth-ordered entry table."""
+    """Build the tile-sorted, depth-ordered entry table + chunk metadata."""
     n = means2d.shape[0]
     tiles_x = cdiv(width, TILE)
     tiles_y = cdiv(height, TILE)
     n_tiles = tiles_x * tiles_y
-    pad_cap = padded_capacity(capacity, n_tiles, chunk)
+    n_chunks = max_chunks(capacity, n_tiles, chunk)
 
     means2d = jax.lax.stop_gradient(means2d)
     depths_sg = jax.lax.stop_gradient(depths)
 
-    # 1. depth pre-sort: positive-f32 bit patterns sort like floats, and the
+    # 1. depth pre-sort: positive-f32 bit patterns sort like ints, and the
     # stable sort keeps original-index tie order. Everything below works in
     # depth-rank space (rank 0 = nearest).
     depth_bits = jax.lax.bitcast_convert_type(
@@ -97,7 +101,9 @@ def bin_splats(
     )
     idx = jnp.arange(n, dtype=jnp.int32)
     _, perm = jax.lax.sort((depth_bits, idx), num_keys=1)
-    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(idx)
+    # invert the permutation with a second small sort (2-op sorts run at
+    # ~0.4ms/300K on v5e; an equivalent int scatter measured 1.75ms)
+    _, inv_perm = jax.lax.sort((perm, idx), num_keys=1)
 
     # 2. touched-tile rects in RANK order (one packed row gather).
     # CUDA getRect semantics (rect of tiles covering mean +- radius).
@@ -118,108 +124,128 @@ def bin_splats(
     total = jnp.minimum(offsets[-1] + count[-1], capacity)
     n_dropped = jnp.maximum(offsets[-1] + count[-1] - capacity, 0)
 
-    # 3. entry -> rank (scatter + cumsum trick).
-    # PERF NOTES (measured on v5e): one scatter + cumsum beats
-    # jnp.searchsorted over entry-sized arrays by >100x; all per-entry
-    # splat fields are fetched with ONE packed row gather (scalar gathers
-    # of 1M+ elements cost ~13ms each).
-    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].add(1, mode="drop")
-    drank = jnp.cumsum(marks) - 1                         # [capacity]
-    e = jnp.arange(capacity, dtype=jnp.int32)
+    # 3. entry -> rank + per-entry splat fields, all via ONE 3-column
+    # delta scatter + cumsum ("segmented broadcast").
+    # PERF NOTES (measured on v5e): XLA row gathers cost ~150ns/ROW
+    # regardless of width (a [1.2M,2] gather = 6.2ms, a 1-D scalar gather
+    # = 8ms) — but the per-entry fields here are constant across each
+    # splat's contiguous entry run, so scattering per-splat DELTAS at the
+    # run starts and integrating with a cumsum reconstructs them exactly
+    # (ints are exact under cumsum) with no gather at all. Empty splats
+    # stack their deltas at the same offset and cancel correctly.
+    # The same construction guarantees slot < count for every e < total,
+    # so no count column and no validity fix-up are needed.
+    # basenx packs the splat's first tile id and rect width into one i32
+    # (nx <= tiles_x <= 255 for any width <= 4080 px).
+    assert tiles_x <= 255, "image wider than 4080 px: widen basenx packing"
+    basenx = (y0 * tiles_x + x0) * 256 + nx
 
-    pack = jnp.stack([x0, y0, nx, count, offsets], axis=1)
-    g = pack[drank]                                       # [capacity, 5]
-    slot = e - g[:, 4]
-    valid = (e < total) & (slot < g[:, 3]) & (slot >= 0)
-    gnx = jnp.maximum(g[:, 2], 1)
-    tx = g[:, 0] + slot % gnx
-    ty = g[:, 1] + slot // gnx
-    tile = jnp.where(valid, ty * tiles_x + tx, n_tiles)   # trash tile = n_tiles
+    def _prev(v):
+        return jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]])
+
+    dmat = jnp.stack(
+        [jnp.ones((n,), jnp.int32), basenx - _prev(basenx),
+         offsets - _prev(offsets)],
+        axis=1,
+    )                                                     # [N, 3]
+    seg = jnp.zeros((capacity, 3), jnp.int32).at[offsets].add(
+        dmat, mode="drop"
+    )
+    csum3 = jnp.cumsum(seg, axis=0)                       # [capacity, 3]
+    drank = csum3[:, 0] - 1
+    basenx_e = csum3[:, 1]
+    offs_e = csum3[:, 2]
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    slot = e - offs_e
+    valid = e < total
+    gnx = jnp.maximum(basenx_e % 256, 1)
+    tile = jnp.where(
+        valid, basenx_e // 256 + (slot // gnx) * tiles_x + slot % gnx,
+        n_tiles,
+    )
 
     # 4. sort entries by (tile, rank) carrying only the entry index.
     # Fast path: one packed uint32 key — halves the sort operands vs the
     # 2-key form; exact fallback when (tile, rank) exceeds 32 bits.
     shift = max(int(n - 1).bit_length(), 1)
+    drank_c = jnp.clip(drank, 0, n - 1)
     if (n_tiles + 1) * (1 << shift) <= (1 << 32):
-        key = (tile.astype(jnp.uint32) << shift) | jnp.clip(
-            drank, 0, n - 1
-        ).astype(jnp.uint32)
+        key = (tile.astype(jnp.uint32) << shift) | drank_c.astype(jnp.uint32)
         key_s, e_s = jax.lax.sort((key, e), num_keys=1)
         tile_s = (key_s >> shift).astype(jnp.int32)
         rank_s = (key_s & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
     else:
-        tile_s, rank_s, e_s = jax.lax.sort(
-            (tile, jnp.clip(drank, 0, n - 1), e), num_keys=2
-        )
+        tile_s, rank_s, e_s = jax.lax.sort((tile, drank_c, e), num_keys=2)
 
-    # per-tile first indices from the sorted keys (1025 binary searches
-    # over the sorted array — cheap; the scatter-add histogram is not)
+    # 5. per-chunk metadata from per-tile runs (1025 binary searches over
+    # the sorted keys — cheap; a scatter-add histogram is not). Each
+    # tile's DMA window starts at its run start rounded DOWN to a lane
+    # boundary so every record slice is (8,128)-tile aligned; the leading
+    # overlap (a neighbor tile's entries) is masked out via the per-chunk
+    # live-lane window [lo, hi).
+    assert chunk % ALIGN == 0
     tile_first = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     counts_t = tile_first[1:] - tile_first[:-1]           # [n_tiles]
-    padded_counts = jnp.maximum(cdiv_dyn(counts_t, chunk), 1) * chunk
-    padded_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )  # [n_tiles + 1]
+    s0_full = (tile_first // ALIGN) * ALIGN               # [n_tiles + 1]
+    off_t = tile_first[:-1] - s0_full[:-1]                # [0, ALIGN)
+    chunks_per_tile = cdiv_dyn(off_t + counts_t, chunk) * (counts_t > 0)
+    chunk_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(chunks_per_tile).astype(jnp.int32)]
+    )                                                     # [n_tiles + 1]
+    u_used = chunk_base[-1]
 
-    # 5. padded table by gather: chunk-aligned padding means a position's
-    # tile is its chunk's tile (computed by 10K cheap binary searches)
-    n_chunks_l = pad_cap // chunk
-    c_start = jnp.arange(n_chunks_l, dtype=jnp.int32) * chunk
-    tile_of_chunk = (
-        jnp.searchsorted(padded_starts, c_start, side="right").astype(jnp.int32)
-        - 1
+    u = jnp.arange(n_chunks, dtype=jnp.int32)
+    chunk_tile = (
+        jnp.searchsorted(chunk_base, u, side="right").astype(jnp.int32) - 1
     )
-    tile_of_chunk = jnp.where(
-        c_start < padded_starts[-1], tile_of_chunk, n_tiles
-    ).astype(jnp.int32)
-    t_of_p = jnp.repeat(tile_of_chunk, chunk)             # [pad_cap]
-    t_clip = jnp.clip(t_of_p, 0, n_tiles - 1)
+    chunk_tile = jnp.where(u < u_used, chunk_tile, n_tiles)
+    tclip = jnp.clip(chunk_tile, 0, n_tiles - 1)
     tpack = jnp.stack(
-        [padded_starts[:-1], tile_first[:-1], counts_t], axis=1
-    )                                                     # [n_tiles, 3]
-    tg = tpack[t_clip]                                    # [pad_cap, 3]
-    p = jnp.arange(pad_cap, dtype=jnp.int32)
-    prank = p - tg[:, 0]
-    in_use = (t_of_p < n_tiles) & (prank >= 0) & (prank < tg[:, 2])
-    src = jnp.clip(tg[:, 1] + prank, 0, capacity - 1)
-    se = jnp.stack([rank_s, e_s], axis=1)[src]            # [pad_cap, 2]
-    entry_rank = jnp.where(in_use, se[:, 0], -1)
-
-    # padded position of each expansion-order entry (for the sort-free
-    # gather-VJP): invert the injective in_use -> entry map with one int
-    # scatter; absent entries point at the trash row pad_cap.
-    e_of_p = jnp.where(in_use, se[:, 1], capacity)        # capacity = OOB, dropped
-    pos_of_entry = jnp.full((capacity,), pad_cap, jnp.int32).at[e_of_p].set(
-        p, mode="drop"
+        [chunk_base[:-1], s0_full[:-1], off_t, counts_t], axis=1
     )
+    tg = tpack[tclip]                                     # [n_chunks, 4]
+    k = u - tg[:, 0]
+    in_use = u < u_used
+    chunk_s0 = jnp.where(in_use, tg[:, 1] + k * chunk, 0)
+    chunk_lo = jnp.where(in_use, jnp.clip(tg[:, 2] - k * chunk, 0, chunk), 0)
+    chunk_hi = jnp.where(
+        in_use, jnp.clip(tg[:, 2] + tg[:, 3] - k * chunk, 0, chunk), 0
+    )
+    chunk_first = jnp.where(in_use, (k == 0), u == u_used).astype(jnp.int32)
+    chunk_first = jnp.concatenate(
+        [chunk_first, jnp.ones((1,), jnp.int32)]
+    )                                                     # flush sentinel
+
+    # 6. grad-table position of each expansion entry (for the sort-free
+    # gather-VJP): sorted position s sits at grad column
+    # s + padfix[tile(s)] (chunk-aligned layout). padfix is constant
+    # across each tile's sorted run, so it is reconstructed with the same
+    # delta-scatter + cumsum trick (a 1026-element scatter; the
+    # equivalent [1.2M] scalar gather measured 8ms). The
+    # expansion->sorted permutation is undone with one cheap 2-operand
+    # sort on the carried entry index.
+    padfix = chunk_base * chunk - s0_full                 # [n_tiles + 1]
+    pdelta = jnp.zeros((capacity,), jnp.int32).at[tile_first].add(
+        padfix - jnp.concatenate([jnp.zeros((1,), jnp.int32), padfix[:-1]]),
+        mode="drop",
+    )
+    pos_sorted = e + jnp.cumsum(pdelta)
+    _, pos_of_entry = jax.lax.sort((e_s, pos_sorted), num_keys=1)
+    pos_of_entry = jnp.clip(pos_of_entry, 0, n_chunks * chunk - 1)
 
     # per-rank survivor segments: expansion order is rank-contiguous.
     surv = jnp.clip(jnp.minimum(offsets + count, total) - offsets, 0, count)
 
-    # 6. per-chunk metadata
-    first_chunk = (
-        c_start == padded_starts[jnp.clip(tile_of_chunk, 0, n_tiles)]
-    ) | (tile_of_chunk == n_tiles)
-    # trash chunks: mark only the very first as "first" (state reset once)
-    is_trash = tile_of_chunk == n_tiles
-    first_trash = is_trash & ~jnp.concatenate(
-        [jnp.zeros((1,), bool), is_trash[:-1]]
-    )
-    first_chunk = jnp.where(is_trash, first_trash, first_chunk).astype(jnp.int32)
-
-    tile_clamped = jnp.minimum(tile_of_chunk, n_tiles)
-    tile_x0 = jnp.where(is_trash, 0, (tile_clamped % tiles_x) * TILE).astype(jnp.int32)
-    tile_y0 = jnp.where(is_trash, tiles_y * TILE, (tile_clamped // tiles_x) * TILE)
-    tile_y0 = tile_y0.astype(jnp.int32)
-
     return BinnedSplats(
-        entry_rank=entry_rank,
-        tile_of_chunk=tile_of_chunk,
-        first_chunk=first_chunk,
-        tile_x0=tile_x0,
-        tile_y0=tile_y0,
+        rank_sorted=rank_s,
+        chunk_tile=chunk_tile,
+        chunk_s0=chunk_s0,
+        chunk_lo=chunk_lo,
+        chunk_hi=chunk_hi,
+        chunk_first=chunk_first,
         n_entries=total,
         n_dropped=n_dropped,
         perm=perm,

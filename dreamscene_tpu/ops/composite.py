@@ -4,16 +4,27 @@ The heart of the rasterizer (CUDA counterpart: the per-tile render/backward
 kernels of comp-diff-gaussian-rasterization, SURVEY.md §3.3). TPU-first
 re-design — no atomics, no per-pixel sequential loops:
 
-  * The grid is a flat sequence of record *chunks* (CHUNK depth-ordered
-    entries each). Binning guarantees every chunk belongs to exactly one
-    16x16 tile and consecutive chunks of a tile are adjacent, so the tile's
-    output block stays resident in VMEM across its chunks while Pallas
-    auto-pipelines record fetches from HBM.
-  * Compositing is a linear recurrence in transmittance, so a chunk is
-    composited *in parallel over its 256 pixels and CHUNK entries*: the
-    exclusive product of (1-alpha) along the entry axis is exp(L @ log(1-a))
-    with L a strictly-lower-triangular ones matrix — an MXU matmul — and
-    color accumulation is a second [4,CHUNK]x[CHUNK,256] matmul.
+  * ONE kernel invocation (grid=(1,)) runs a `fori_loop` over record
+    *chunks* (CHUNK depth-ordered entries each), streaming each chunk's
+    columns from the field-major sorted record table in HBM with manually
+    multi-buffered async DMA at dynamic per-chunk offsets. This replaces
+    the earlier per-chunk Pallas grid (+ a materialized chunk-padded
+    record table): grid-step overhead (~0.7us x 10K chunks) and ~25ms of
+    XLA gather/select plumbing both disappear.
+  * Records are FIELD-MAJOR [16, capacity] and chunk offsets are
+    128-aligned by construction (binning rounds each tile's run start
+    down to a lane boundary and masks the leading overlap via a per-chunk
+    live window [lo, hi)), so every DMA slice is [16, CHUNK] — exactly
+    lane/sublane aligned for the (8,128) tiling.
+  * The chunk math is laid out pixels-on-sublanes x entries-on-lanes:
+    per-field record rows broadcast as [1, CHUNK] lane vectors, pixel
+    coordinates as [256, 1] sublane vectors, so NO per-field transposes
+    are needed; only the [1,256] transmittance row flips orientation
+    (a couple of cheap vector relayouts per chunk).
+  * Compositing is a linear recurrence in transmittance: the exclusive
+    product of (1-alpha) along the entry axis is exp(logq @ U) with U a
+    strictly-upper-triangular ones matrix — an MXU matmul — and color
+    accumulation is a second [4,CHUNK]x[256,CHUNK]^T matmul.
   * Per-pixel early termination (CUDA: stop when T < 1e-4, the crossing
     splat not composited) becomes a monotonicity argument: within a chunk
     T*P_g is non-increasing, so "applied" = (T*P_incl >= eps) is exactly
@@ -22,19 +33,19 @@ re-design — no atomics, no per-pixel sequential loops:
 The backward kernel replays tiles front-to-back, using the closed form
   dC/da_i = T_i c_i - S_i/(1-a_i),   S_i = suffix color after i,
 with the suffix obtained from the stored final accumulators minus a running
-prefix — no back-to-front pass needed. Per-entry gradients are written to a
-grad-record table; the XLA gather that built the records scatter-adds them
-back to per-splat parameters under autodiff.
+prefix — no back-to-front pass needed. Per-entry gradients stream out as
+lane-aligned [16, CHUNK] blocks of a chunk-aligned grad table (consecutive
+output DMAs never overlap); the rasterizer's gather VJP reduces them back
+to per-splat parameters (ops/rasterizer.gather_composite).
 
 Pixel layout: each tile's 256 pixels are a row-major [16,16] flattened to
-256 lanes; the caller converts the [n_tiles+1, 8, 256] accumulator layout
-to [C, H, W] images (ops/rasterizer.py).
+256 lanes of the [8, 256] accumulator; the caller converts the
+[n_tiles+1, 8, 256] layout to [C, H, W] images (ops/rasterizer.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,68 +58,94 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
 
-# record field indices (see rasterizer.build_records)
+# record field indices (see rasterizer.render)
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA, F_R, F_G, F_B, F_DEPTH = range(10)
 REC_WIDTH = 16
 # accumulator rows in the [8, 256] tile state
 A_R, A_G, A_B, A_DEPTH, A_T = range(5)
 ACC_ROWS = 8
 
+NBUF = 4     # record-stream multi-buffering depth
+
 
 def _pixel_coords(x0, y0):
-    """Tile pixel coordinates as [1, 256] lane vectors (row-major 16x16)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
-    px = (x0 + lane % TILE).astype(jnp.float32)
-    py = (y0 + lane // TILE).astype(jnp.float32)
+    """Tile pixel coordinates as [256, 1] sublane vectors (row-major 16x16)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
+    px = (x0 + sub % TILE).astype(jnp.float32)
+    py = (y0 + sub // TILE).astype(jnp.float32)
     return px, py
 
 
-def _chunk_alpha(rec, px, py, t_carry):
-    """Shared forward math for one chunk.
+def _tile_xy0(t, tiles_x):
+    return (t % tiles_x) * TILE, (t // tiles_x) * TILE
+
+
+def _col(row_vec):
+    """[1, 256] lane vector -> [256, 1] sublane vector."""
+    return jnp.transpose(row_vec, (1, 0))
+
+
+def _chunk_alpha(rec, px, py, t_carry_col, lo, hi):
+    """Shared forward math for one chunk, pixels-on-sublanes layout.
 
     Args:
-      rec: [CHUNK, 16] records; px/py: [1, 256]; t_carry: [1, 256].
-    Returns dict of [CHUNK, 256] / [CHUNK, 1] intermediates.
+      rec: [16, CHUNK] field-major records; px/py: [256, 1];
+      t_carry_col: [256, 1]; lanes outside [lo, hi) are masked out
+      (they belong to a neighboring tile's run).
+    Returns dict of [256, CHUNK] / [256, 1] intermediates.
     """
-    chunk = rec.shape[0]
-    mx = rec[:, F_MX][:, None]
-    my = rec[:, F_MY][:, None]
-    ca = rec[:, F_CA][:, None]
-    cb = rec[:, F_CB][:, None]
-    cc = rec[:, F_CC][:, None]
-    opa = rec[:, F_OPA][:, None]
+    chunk = rec.shape[1]
+    mx = rec[F_MX:F_MX + 1, :]                       # [1, CHUNK]
+    my = rec[F_MY:F_MY + 1, :]
+    ca = rec[F_CA:F_CA + 1, :]
+    cb = rec[F_CB:F_CB + 1, :]
+    cc = rec[F_CC:F_CC + 1, :]
+    opa = rec[F_OPA:F_OPA + 1, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    lanemask = (lane >= lo) & (lane < hi)
 
-    dx = mx - px                                     # [CHUNK, 256]
+    dx = mx - px                                     # [256, CHUNK]
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = opa * jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    alpha = jnp.where((power > 0.0) | (raw < ALPHA_MIN), 0.0, alpha)
+    alpha = jnp.where(
+        (power > 0.0) | (raw < ALPHA_MIN) | ~lanemask, 0.0, alpha
+    )
 
     q = 1.0 - alpha                                  # in [0.01, 1]
     logq = jnp.log(q)
-    # strictly-lower-triangular ones: exclusive prefix via MXU
+    # strictly-upper-triangular ones: exclusive prefix over entries (lanes)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    l_strict = (col < row).astype(jnp.float32)
+    u_strict = (row < col).astype(jnp.float32)
     p_excl = jnp.exp(
         jax.lax.dot_general(
-            l_strict, logq, (((1,), (0,)), ((), ())),
+            logq, u_strict, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    )                                                # [CHUNK, 256]
+    )                                                # [256, CHUNK]
     p_incl = p_excl * q
-    t_excl = t_carry * p_excl                        # T before entry g
-    t_incl = t_carry * p_incl                        # T after entry g
+    t_excl = t_carry_col * p_excl                    # T before entry g
+    t_incl = t_carry_col * p_incl                    # T after entry g
     applied = (t_incl >= TRANSMITTANCE_EPS).astype(jnp.float32)
-    contrib = t_excl * alpha * applied               # blend weight w_g[p]
+    contrib = t_excl * alpha * applied               # blend weight w[p, g]
     # new per-pixel transmittance (min handles the no-applied case)
     t_new = jnp.minimum(
-        t_carry, jnp.min(jnp.where(applied > 0, t_incl, t_carry), axis=0, keepdims=True)
-    )
+        t_carry_col,
+        jnp.min(jnp.where(applied > 0, t_incl, t_carry_col), axis=1,
+                keepdims=True),
+    )                                                # [256, 1]
     return dict(
         dx=dx, dy=dy, power=power, raw=raw, alpha=alpha, q=q,
         t_excl=t_excl, applied=applied, contrib=contrib, t_new=t_new,
+    )
+
+
+def _cd_rows(rec):
+    """[4, CHUNK] rgb+depth rows of the record block."""
+    return jnp.concatenate(
+        [rec[F_R:F_B + 1, :], rec[F_DEPTH:F_DEPTH + 1, :]], axis=0
     )
 
 
@@ -118,80 +155,122 @@ def _chunk_alpha(rec, px, py, t_carry):
 
 def _fwd_kernel(
     # scalar prefetch
-    tile_x0_ref, tile_y0_ref, first_ref, tile_of_chunk_ref,
+    tile_ref, s0_ref, lo_ref, hi_ref, first_ref,
     # inputs
-    rec_ref,
+    rec_hbm,
     # outputs
     out_ref,
     # scratch
-    acc_ref,
+    acc_ref, buf_ref, sem_ref,
+    *, tiles_x, chunk,
 ):
-    c = pl.program_id(0)
-    rec = rec_ref[:]                                  # [CHUNK, 16]
-    chunk = rec.shape[0]
+    # acc_ref holds the tile state COLUMN-form [256, 8] (pixels on
+    # sublanes) so the per-chunk math needs no vector transposes; the
+    # row-form [8, 256] conversion happens once per tile at flush.
+    n_chunks = tile_ref.shape[0]
+    n_rows = out_ref.shape[0]
 
-    @pl.when(first_ref[c] == 1)
-    def _init():
-        acc_ref[:] = jnp.zeros((ACC_ROWS, TILE_PIX), jnp.float32)
-        acc_ref[A_T, :] = jnp.ones((TILE_PIX,), jnp.float32)
+    # init: background state for every tile (incl. never-touched ones)
+    out_ref[...] = jnp.zeros((n_rows, ACC_ROWS, TILE_PIX), jnp.float32)
+    out_ref[:, A_T, :] = jnp.ones((n_rows, TILE_PIX), jnp.float32)
 
-    # chunk-level early termination: if every pixel of the tile is already
-    # saturated (T < eps), later chunks cannot contribute (T only decays) —
-    # skip the whole chunk's math (the CUDA kernel's per-pixel `done` flag,
-    # lifted to chunk granularity).
-    live = jnp.max(acc_ref[A_T, :]) >= TRANSMITTANCE_EPS
+    def rec_dma(slot, u):
+        return pltpu.make_async_copy(
+            rec_hbm.at[:, pl.ds(pl.multiple_of(s0_ref[u], 128), chunk)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
 
-    @pl.when(live)
-    def _composite_chunk():
-        px, py = _pixel_coords(tile_x0_ref[c], tile_y0_ref[c])
-        t_carry = acc_ref[A_T, :][None, :]
+    # prologue: fill the pipeline
+    for w in range(NBUF - 1):
+        @pl.when(w < n_chunks)
+        def _():
+            rec_dma(w, w).start()
 
-        v = _chunk_alpha(rec, px, py, t_carry)
-        contrib = v["contrib"]
+    def body(u, _):
+        slot = jax.lax.rem(u, NBUF)
+        t = tile_ref[u]
 
-        # rgb+depth accumulation: [4, CHUNK] @ [CHUNK, 256]
-        cd = jnp.concatenate(
-            [rec[:, F_R:F_B + 1], rec[:, F_DEPTH][:, None]], axis=1
-        )                                                 # [CHUNK, 4]
-        acc_new = jax.lax.dot_general(
-            cd, contrib, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                 # [4, 256]
-        acc_ref[A_R:A_DEPTH + 1, :] += acc_new
-        acc_ref[A_T, :] = v["t_new"][0]
+        @pl.when(u + NBUF - 1 < n_chunks)
+        def _():
+            rec_dma(jax.lax.rem(u + NBUF - 1, NBUF), u + NBUF - 1).start()
 
-    out_ref[0] = acc_ref[:]
+        rec_dma(slot, u).wait()
+
+        @pl.when(first_ref[u] == 1)
+        def _():
+            acc_ref[...] = jnp.zeros((TILE_PIX, ACC_ROWS), jnp.float32)
+            acc_ref[:, A_T:A_T + 1] = jnp.ones((TILE_PIX, 1), jnp.float32)
+
+        # chunk-level early termination: if every pixel of the tile is
+        # already saturated (T < eps), later chunks cannot contribute
+        # (T only decays) — skip the whole chunk's math.
+        live = (jnp.max(acc_ref[:, A_T:A_T + 1]) >= TRANSMITTANCE_EPS) & (
+            hi_ref[u] > lo_ref[u]
+        )
+
+        @pl.when(live)
+        def _():
+            rec = buf_ref[slot]
+            x0, y0 = _tile_xy0(t, tiles_x)
+            px, py = _pixel_coords(x0, y0)
+            t_carry_col = acc_ref[:, A_T:A_T + 1]
+            v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u])
+
+            # rgb+depth accumulation: [256, CHUNK] x [4, CHUNK]^T
+            acc_new = jax.lax.dot_general(
+                v["contrib"], _cd_rows(rec), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [256, 4]
+            acc_ref[:, A_R:A_DEPTH + 1] += acc_new
+            acc_ref[:, A_T:A_T + 1] = v["t_new"]
+
+        # flush once per tile (next chunk starts a new tile)
+        @pl.when(first_ref[u + 1] == 1)
+        def _():
+            out_ref[pl.ds(t, 1)] = jnp.transpose(acc_ref[...], (1, 0))[None]
+
+        return ()
+
+    jax.lax.fori_loop(0, n_chunks, body, (), unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")
+)
 def composite_forward(
-    records: jnp.ndarray,       # [pad_cap, 16] float32
-    tile_x0: jnp.ndarray,       # [n_chunks] int32
-    tile_y0: jnp.ndarray,       # [n_chunks] int32
-    first_chunk: jnp.ndarray,   # [n_chunks] int32
-    tile_of_chunk: jnp.ndarray,  # [n_chunks] int32
+    records_t: jnp.ndarray,     # [16, cap_pad] float32, field-major sorted
+    chunk_tile: jnp.ndarray,    # [n_chunks] int32 tile of chunk (n_tiles=trash)
+    chunk_s0: jnp.ndarray,      # [n_chunks] int32 128-aligned record column
+    chunk_lo: jnp.ndarray,      # [n_chunks] int32 first live lane
+    chunk_hi: jnp.ndarray,      # [n_chunks] int32 end of live lanes
+    chunk_first: jnp.ndarray,   # [n_chunks + 1] int32 1 = chunk starts a tile
     n_tiles: int,
+    tiles_x: int,
     chunk: int = 128,
     interpret: bool = False,
 ):
-    pad_cap = records.shape[0]
-    n_chunks = pad_cap // chunk
+    n_chunks = chunk_tile.shape[0]
+    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((chunk, REC_WIDTH), lambda c, tx, ty, f, t: (c, 0)),
-        ],
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
-                (1, ACC_ROWS, TILE_PIX), lambda c, tx, ty, f, t: (t[c], 0, 0)
+                (n_tiles + 1, ACC_ROWS, TILE_PIX),
+                lambda i, *_: (0, 0, 0),
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((ACC_ROWS, TILE_PIX), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_PIX, ACC_ROWS), jnp.float32),
+            pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
     )
     (out,) = pl.pallas_call(
-        _fwd_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles + 1, ACC_ROWS, TILE_PIX), jnp.float32),
@@ -200,7 +279,7 @@ def composite_forward(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_x0, tile_y0, first_chunk, tile_of_chunk, records)
+    )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first, records_t)
     return out
 
 
@@ -210,158 +289,255 @@ def composite_forward(
 
 def _bwd_kernel(
     # scalar prefetch
-    tile_x0_ref, tile_y0_ref, first_ref, tile_of_chunk_ref,
+    tile_ref, s0_ref, lo_ref, hi_ref, first_ref, tord_ref,
     # inputs
-    rec_ref, final_ref, grad_ref,
+    rec_hbm, final_hbm, grad_hbm,
     # outputs
-    grec_ref,
-    # scratch: [ACC_ROWS, 256] replayed accumulator (prefix color + T)
-    acc_ref,
+    grec_hbm,
+    # scratch
+    acc_ref, buf_ref, sem_ref,
+    fbuf_ref, gbuf_ref, tsem_ref,
+    col_ref, obuf_ref, osem_ref,
+    *, tiles_x, chunk,
 ):
-    c = pl.program_id(0)
-    rec = rec_ref[:]
-    chunk = rec.shape[0]
+    # acc_ref is COLUMN-form [256, 8] (pixels on sublanes); col_ref caches
+    # the tile's cotangent/final rows transposed to column form once per
+    # tile: cols 0..3 g_rgbd, 4 g_t, 5 t_final, 6 (c_final . g_rgbd).
+    n_chunks = tile_ref.shape[0]
 
-    @pl.when(first_ref[c] == 1)
-    def _init():
-        acc_ref[:] = jnp.zeros((ACC_ROWS, TILE_PIX), jnp.float32)
-        acc_ref[A_T, :] = jnp.ones((TILE_PIX,), jnp.float32)
-
-    # chunk-level early termination (see forward kernel): a saturated
-    # tile contributes nothing and receives no gradients.
-    live = jnp.max(acc_ref[A_T, :]) >= TRANSMITTANCE_EPS
-    grec_ref[:] = jnp.zeros((chunk, REC_WIDTH), jnp.float32)
-
-    @pl.when(live)
-    def _backward_chunk():
-        px, py = _pixel_coords(tile_x0_ref[c], tile_y0_ref[c])
-        t_carry = acc_ref[A_T, :][None, :]
-
-        v = _chunk_alpha(rec, px, py, t_carry)
-        alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
-        q, t_excl = v["q"], v["t_excl"]
-
-        cd = jnp.concatenate(
-            [rec[:, F_R:F_B + 1], rec[:, F_DEPTH][:, None]], axis=1
-        )                                                 # [CHUNK, 4] rgb+depth
-        # per-channel weighted contributions and their within-chunk inclusive
-        # prefix: prefix_incl[g] = acc_before_chunk + sum_{h<=g} w_h c_h
-        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-        l_incl = (col <= row).astype(jnp.float32)
-
-        g_rgbd = grad_ref[0, A_R:A_DEPTH + 1, :]          # [4, 256] cotangents
-        g_t = grad_ref[0, A_T, :][None, :]                # [1, 256]
-        c_final = final_ref[0, A_R:A_DEPTH + 1, :]        # [4, 256] final accums
-        t_final = final_ref[0, A_T, :][None, :]
-
-        # dL/dcolor_g (and depth): w_g . g_ch  -> [CHUNK, 4]
-        gcd = jax.lax.dot_general(
-            contrib, g_rgbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def rec_dma(slot, u):
+        return pltpu.make_async_copy(
+            rec_hbm.at[:, pl.ds(pl.multiple_of(s0_ref[u], 128), chunk)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
         )
 
-        # suffix S_ch[g] = c_final_ch - acc_ch - (L_incl @ w c_ch)[g]; we need
-        # sdotg = sum_ch S_ch * g_ch. The cotangents g_ch are per-PIXEL, so
-        # they commute through the entry-axis prefix matmul:
-        #   sum_ch (L @ (w*c_ch)) * g_ch  ==  L @ (w * sum_ch c_ch*g_ch)
-        # which collapses the four per-channel prefixes into ONE matmul.
-        cg_dot = jax.lax.dot_general(
-            cd, g_rgbd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                 # [CHUNK, 256] c_g . g
-        prefix_dot = jax.lax.dot_general(
-            l_incl, contrib * cg_dot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                 # [CHUNK, 256]
-        cf_dot = jnp.sum(c_final * g_rgbd, axis=0, keepdims=True)      # [1,256]
-        acc_dot = jnp.sum(acc_ref[A_R:A_DEPTH + 1, :] * g_rgbd, axis=0,
-                          keepdims=True)
-        sdotg = cf_dot - acc_dot - prefix_dot
-        # replayed accumulator update (same matmul as the forward)
-        acc_ref[A_R:A_DEPTH + 1, :] += jax.lax.dot_general(
-            cd, contrib, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def tile_dmas(u):
+        """Fetch the tile's stored final accumulators + output cotangents
+        (multi-buffered by tile ordinal, NBUF deep: tiles can be one chunk
+        long, so up to NBUF tile starts sit in the DMA lookahead)."""
+        ts = jax.lax.rem(tord_ref[u], NBUF)
+        t = tile_ref[u]
+        f = pltpu.make_async_copy(
+            final_hbm.at[pl.ds(t, 1)], fbuf_ref.at[ts], tsem_ref.at[ts, 0]
+        )
+        g = pltpu.make_async_copy(
+            grad_hbm.at[pl.ds(t, 1)], gbuf_ref.at[ts], tsem_ref.at[ts, 1]
+        )
+        return f, g
+
+    def start_lookahead(w):
+        @pl.when(w < n_chunks)
+        def _():
+            rec_dma(jax.lax.rem(w, NBUF), w).start()
+
+            @pl.when(first_ref[w] == 1)
+            def _():
+                f, g = tile_dmas(w)
+                f.start()
+                g.start()
+
+    for w in range(NBUF - 1):
+        start_lookahead(jnp.int32(w))
+
+    def body(u, _):
+        slot = jax.lax.rem(u, NBUF)
+        t = tile_ref[u]
+        ts = jax.lax.rem(tord_ref[u], NBUF)
+
+        start_lookahead(u + NBUF - 1)
+        rec_dma(slot, u).wait()
+
+        @pl.when(first_ref[u] == 1)
+        def _():
+            f, g = tile_dmas(u)
+            f.wait()
+            g.wait()
+            acc_ref[...] = jnp.zeros((TILE_PIX, ACC_ROWS), jnp.float32)
+            acc_ref[:, A_T:A_T + 1] = jnp.ones((TILE_PIX, 1), jnp.float32)
+            gcol = jnp.transpose(gbuf_ref[ts, 0], (1, 0))     # [256, 8]
+            fcol = jnp.transpose(fbuf_ref[ts, 0], (1, 0))
+            cfg = jnp.sum(
+                fcol[:, A_R:A_DEPTH + 1] * gcol[:, A_R:A_DEPTH + 1],
+                axis=1, keepdims=True,
+            )                                                 # [256, 1]
+            col_ref[:, 0:4] = gcol[:, A_R:A_DEPTH + 1]
+            col_ref[:, 4:5] = gcol[:, A_T:A_T + 1]
+            col_ref[:, 5:6] = fcol[:, A_T:A_T + 1]
+            col_ref[:, 6:7] = cfg
+
+        live = (jnp.max(acc_ref[:, A_T:A_T + 1]) >= TRANSMITTANCE_EPS) & (
+            hi_ref[u] > lo_ref[u]
         )
 
-        inv_q = 1.0 / q
-        galpha = t_excl * cg_dot - sdotg * inv_q - g_t * t_final * inv_q
-        # only entries that were actually composited get gradient
-        galpha = galpha * applied * (alpha > 0.0).astype(jnp.float32)
+        # output buffer: wait out the DMA that last used this slot
+        oslot = jax.lax.rem(u, 2)
 
-        # through alpha = min(0.99, opa*exp(power)), skip-clamps zero elsewhere
-        unclamped = (v["raw"] < ALPHA_MAX).astype(jnp.float32)
-        g_exp = galpha * unclamped                        # d wrt (opa*G) pre-clamp
-        gpower = g_exp * v["raw"]                         # [CHUNK, 256]
-        opa = rec[:, F_OPA][:, None]
-        g_opa = jnp.sum(g_exp * jnp.exp(v["power"]), axis=1)   # [CHUNK]
+        @pl.when(u >= 2)
+        def _():
+            pltpu.make_async_copy(
+                obuf_ref.at[oslot],
+                grec_hbm.at[:, pl.ds((u - 2) * chunk, chunk)],
+                osem_ref.at[oslot],
+            ).wait()
 
-        dx, dy = v["dx"], v["dy"]
-        ca = rec[:, F_CA][:, None]
-        cb = rec[:, F_CB][:, None]
-        cc = rec[:, F_CC][:, None]
-        # power = -0.5(ca dx^2 + cc dy^2) - cb dx dy ; d/ddx with dx = mx - px
-        g_mx = jnp.sum(gpower * (-(ca * dx + cb * dy)), axis=1)
-        g_my = jnp.sum(gpower * (-(cc * dy + cb * dx)), axis=1)
-        g_ca = jnp.sum(gpower * (-0.5 * dx * dx), axis=1)
-        g_cb = jnp.sum(gpower * (-dx * dy), axis=1)
-        g_cc = jnp.sum(gpower * (-0.5 * dy * dy), axis=1)
+        obuf_ref[oslot] = jnp.zeros((REC_WIDTH, chunk), jnp.float32)
 
-        acc_ref[A_T, :] = v["t_new"][0]
+        @pl.when(live)
+        def _():
+            rec = buf_ref[slot]
+            x0, y0 = _tile_xy0(t, tiles_x)
+            px, py = _pixel_coords(x0, y0)
+            t_carry_col = acc_ref[:, A_T:A_T + 1]
+            v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u])
+            alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
+            q, t_excl = v["q"], v["t_excl"]
 
-        # column order must match the record layout F_MX..F_DEPTH (0..9)
-        grec_ref[:] = jnp.concatenate(
-            [
-                g_mx[:, None], g_my[:, None], g_ca[:, None], g_cb[:, None],
-                g_cc[:, None], g_opa[:, None], gcd,
-                jnp.zeros((chunk, REC_WIDTH - 10), jnp.float32),
-            ],
-            axis=1,
-        )
+            cd = _cd_rows(rec)                                # [4, CHUNK]
+            row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+            u_incl = (row <= col).astype(jnp.float32)
+
+            g_rgbd = gbuf_ref[ts, 0, A_R:A_DEPTH + 1, :]      # [4, 256]
+            g_t_col = col_ref[:, 4:5]                         # [256, 1]
+            t_final_col = col_ref[:, 5:6]
+
+            # dL/dcolor_g (and depth): w_g . g_ch  -> [4, CHUNK]
+            gcd = jax.lax.dot_general(
+                g_rgbd, contrib, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            # suffix S_ch[g] = c_final_ch - acc_ch - (U_incl prefix)[g]; the
+            # cotangents are per-PIXEL so they commute through the
+            # entry-axis prefix matmul, collapsing 4 per-channel prefixes
+            # into ONE matmul.
+            cg_dot = jax.lax.dot_general(
+                g_rgbd, cd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [256, CHUNK]
+            prefix_dot = jax.lax.dot_general(
+                contrib * cg_dot, u_incl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [256, CHUNK]
+            acc_dot = jnp.sum(
+                acc_ref[:, A_R:A_DEPTH + 1] * col_ref[:, 0:4],
+                axis=1, keepdims=True,
+            )                                                 # [256, 1]
+            sdotg = (col_ref[:, 6:7] - acc_dot) - prefix_dot
+            # replayed accumulator update (same matmul as the forward)
+            acc_ref[:, A_R:A_DEPTH + 1] += jax.lax.dot_general(
+                contrib, cd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            inv_q = 1.0 / q
+            galpha = (
+                t_excl * cg_dot - sdotg * inv_q
+                - g_t_col * t_final_col * inv_q
+            )
+            galpha = galpha * applied * (alpha > 0.0).astype(jnp.float32)
+
+            # through alpha = min(0.99, opa*exp(power))
+            unclamped = (v["raw"] < ALPHA_MAX).astype(jnp.float32)
+            g_exp = galpha * unclamped
+            gpower = g_exp * v["raw"]                         # [256, CHUNK]
+            g_opa = jnp.sum(g_exp * jnp.exp(v["power"]), axis=0, keepdims=True)
+
+            dx, dy = v["dx"], v["dy"]
+            ca = rec[F_CA:F_CA + 1, :]
+            cb = rec[F_CB:F_CB + 1, :]
+            cc = rec[F_CC:F_CC + 1, :]
+            g_mx = jnp.sum(gpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+            g_my = jnp.sum(gpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+            g_ca = jnp.sum(gpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            g_cb = jnp.sum(gpower * (-dx * dy), axis=0, keepdims=True)
+            g_cc = jnp.sum(gpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+
+            acc_ref[:, A_T:A_T + 1] = v["t_new"]
+
+            # row order must match the record layout F_MX..F_DEPTH (0..9)
+            obuf_ref[oslot] = jnp.concatenate(
+                [
+                    g_mx, g_my, g_ca, g_cb, g_cc, g_opa, gcd,
+                    jnp.zeros((REC_WIDTH - 10, chunk), jnp.float32),
+                ],
+                axis=0,
+            )
+
+        pltpu.make_async_copy(
+            obuf_ref.at[oslot],
+            grec_hbm.at[:, pl.ds(u * chunk, chunk)],
+            osem_ref.at[oslot],
+        ).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_chunks, body, (), unroll=False)
+
+    # drain the last two output DMAs (n_chunks is static)
+    for k in range(min(2, n_chunks)):
+        u = n_chunks - 1 - k
+        pltpu.make_async_copy(
+            obuf_ref.at[u % 2],
+            grec_hbm.at[:, pl.ds(u * chunk, chunk)],
+            osem_ref.at[u % 2],
+        ).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")
+)
 def composite_backward(
-    records: jnp.ndarray,
-    tile_x0: jnp.ndarray,
-    tile_y0: jnp.ndarray,
-    first_chunk: jnp.ndarray,
-    tile_of_chunk: jnp.ndarray,
+    records_t: jnp.ndarray,      # [16, cap_pad] float32, field-major sorted
+    chunk_tile: jnp.ndarray,
+    chunk_s0: jnp.ndarray,
+    chunk_lo: jnp.ndarray,
+    chunk_hi: jnp.ndarray,
+    chunk_first: jnp.ndarray,    # [n_chunks + 1]
     final_accums: jnp.ndarray,   # [n_tiles+1, 8, 256] forward output
     grad_accums: jnp.ndarray,    # [n_tiles+1, 8, 256] cotangents
     n_tiles: int,
+    tiles_x: int,
     chunk: int = 128,
     interpret: bool = False,
 ):
-    pad_cap = records.shape[0]
-    n_chunks = pad_cap // chunk
+    n_chunks = chunk_tile.shape[0]
+    # tile ordinal of each chunk (selects the tile-state buffer slot)
+    tord = jnp.cumsum(chunk_first[:-1]) - 1
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_chunks,),
+        num_scalar_prefetch=6,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((chunk, REC_WIDTH), lambda c, tx, ty, f, t: (c, 0)),
-            pl.BlockSpec(
-                (1, ACC_ROWS, TILE_PIX), lambda c, tx, ty, f, t: (t[c], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, ACC_ROWS, TILE_PIX), lambda c, tx, ty, f, t: (t[c], 0, 0)
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((chunk, REC_WIDTH), lambda c, tx, ty, f, t: (c, 0)),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_PIX, ACC_ROWS), jnp.float32),
+            pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((NBUF, 1, ACC_ROWS, TILE_PIX), jnp.float32),
+            pltpu.VMEM((NBUF, 1, ACC_ROWS, TILE_PIX), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.VMEM((TILE_PIX, 8), jnp.float32),
+            pltpu.VMEM((2, REC_WIDTH, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-        scratch_shapes=[pltpu.VMEM((ACC_ROWS, TILE_PIX), jnp.float32)],
     )
-    (grec,) = pl.pallas_call(
-        _bwd_kernel,
+    (grec_t,) = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((pad_cap, REC_WIDTH), jnp.float32),
+            jax.ShapeDtypeStruct((REC_WIDTH, n_chunks * chunk), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            has_side_effects=True,
         ),
         interpret=interpret,
-    )(tile_x0, tile_y0, first_chunk, tile_of_chunk, records, final_accums, grad_accums)
-    return grec
+    )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first, tord,
+      records_t, final_accums, grad_accums)
+    return grec_t

@@ -38,72 +38,60 @@ from dreamscene_tpu.ops.composite import (
 from dreamscene_tpu.ops.projection import project_gaussians
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _composite(records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
-               n_tiles, chunk, interpret):
-    return composite_forward(
-        records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
-        n_tiles=n_tiles, chunk=chunk, interpret=interpret,
-    )
+def _gather(rec_n, perm, ranks_pad):
+    """records_t[:, s] = rec_n[perm[ranks_pad[s]]], as two row gathers
+    (N-row depth reorder, then the big rank gather into sorted-entry
+    order) plus a transpose into the field-major layout the composite
+    kernels DMA ([16, cap_pad]: lane-aligned [16, CHUNK] slices).
+    Columns past `n_entries` gather arbitrary (real) rows — the kernels
+    mask them by the per-chunk live window, so no select is needed."""
+    return jnp.transpose(rec_n[perm][ranks_pad])
 
 
-def _composite_fwd(records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
-                   n_tiles, chunk, interpret):
-    out = composite_forward(
-        records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
-        n_tiles=n_tiles, chunk=chunk, interpret=interpret,
-    )
-    return out, (records, tile_x0, tile_y0, first_chunk,
-                 tile_of_chunk, out)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def gather_composite(rec_n, perm, inv_perm, ranks_pad, pos_of_entry, surv,
+                     seg_starts, chunks, n_tiles, tiles_x, chunk, interpret):
+    """Record gather + Pallas compositing under ONE custom VJP (the
+    backward's chunk-aligned field-major grad table is an internal layout
+    that must not cross a VJP boundary).
 
-
-def _composite_bwd(n_tiles, chunk, interpret, res, g_out):
-    records, tile_x0, tile_y0, first_chunk, tile_of_chunk, out = res
-    grec = composite_backward(
-        records, tile_x0, tile_y0, first_chunk, tile_of_chunk,
-        out, g_out, n_tiles=n_tiles, chunk=chunk, interpret=interpret,
-    )
-    return (grec, None, None, None, None)
-
-
-_composite.defvjp(_composite_fwd, _composite_bwd)
-
-
-@jax.custom_vjp
-def gather_records(rec_n, perm, inv_perm, entry_rank, pos_of_entry, surv,
-                   seg_starts):
-    """records[p] = rec_n[perm[entry_rank[p]]] (0 for padding), as two row
-    gathers (N-row depth reorder, then the big rank gather).
-
-    Custom VJP: the natural scatter-add back to splats serializes on TPU
+    Backward: the natural scatter-add back to splats serializes on TPU
     (measured 92ms at 1.33M entries). Because binning expands entries in
     depth-rank order, each splat's entries are CONTIGUOUS in expansion
-    order — so the backward needs no sort at all: gather the grad rows
-    into expansion order via `pos_of_entry` (precomputed in binning with
-    one int scatter), reduce each rank's segment with a cumsum difference
-    (XLA's log-tree cumsum keeps fp32 error ~1e-6 relative), and undo the
-    depth permutation with one small row gather."""
-    rec_d = rec_n[perm]
-    return jnp.where(
-        (entry_rank >= 0)[:, None], rec_d[jnp.maximum(entry_rank, 0)], 0.0
+    order — so no sort is needed: gather the grad rows from the
+    chunk-aligned grad table into expansion order via `pos_of_entry`,
+    reduce each rank's segment with a cumsum difference (XLA's log-tree
+    cumsum keeps fp32 error ~1e-6 relative), and undo the depth
+    permutation with one small row gather."""
+    records_t = _gather(rec_n, perm, ranks_pad)
+    return composite_forward(
+        records_t, *chunks,
+        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk, interpret=interpret,
     )
 
 
-def _gather_records_fwd(rec_n, perm, inv_perm, entry_rank, pos_of_entry,
-                        surv, seg_starts):
-    out = gather_records(rec_n, perm, inv_perm, entry_rank, pos_of_entry,
-                         surv, seg_starts)
-    return out, (inv_perm, pos_of_entry, surv, seg_starts)
+def _gather_composite_fwd(rec_n, perm, inv_perm, ranks_pad, pos_of_entry,
+                          surv, seg_starts, chunks, n_tiles, tiles_x, chunk,
+                          interpret):
+    records_t = _gather(rec_n, perm, ranks_pad)
+    out = composite_forward(
+        records_t, *chunks,
+        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk, interpret=interpret,
+    )
+    return out, (records_t, chunks, out, inv_perm, pos_of_entry, surv,
+                 seg_starts)
 
 
-def _gather_records_bwd(res, grec):
-    inv_perm, pos_of_entry, surv, seg_starts = res
-    pad_cap = grec.shape[0]
+def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
+    records_t, chunks, out, inv_perm, pos_of_entry, surv, seg_starts = res
+    grec_t = composite_backward(
+        records_t, *chunks,
+        out, g_out, n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
+        interpret=interpret,
+    )                                             # [16, n_chunks*chunk]
+    grec = jnp.transpose(grec_t)                  # [n_chunks*chunk, 16]
     capacity = pos_of_entry.shape[0]
-    grec_pad = jnp.concatenate(
-        [grec, jnp.zeros((1, grec.shape[1]), grec.dtype)], axis=0
-    )
-    grec_e = grec_pad[jnp.minimum(pos_of_entry, pad_cap)]  # [capacity, 16]
+    grec_e = grec[pos_of_entry]                   # [capacity, 16] expansion ord
     csum = jnp.cumsum(grec_e, axis=0)
     ends = seg_starts + surv                      # exclusive, rank order
     top = csum[jnp.clip(ends - 1, 0, capacity - 1)]
@@ -114,10 +102,10 @@ def _gather_records_bwd(res, grec):
     )
     grad_rank = jnp.where((surv > 0)[:, None], top - bot, 0.0)   # [N, 16]
     grad_n = grad_rank[inv_perm]
-    return grad_n, None, None, None, None, None, None
+    return grad_n, None, None, None, None, None, None, None
 
 
-gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
+gather_composite.defvjp(_gather_composite_fwd, _gather_composite_bwd)
 
 
 def render(
@@ -201,15 +189,18 @@ def render(
         ],
         axis=1,
     )
-    records = gather_records(
-        rec_n.astype(jnp.float32), binned.perm, binned.inv_perm,
-        binned.entry_rank, binned.pos_of_entry, binned.surv_counts,
-        binned.seg_starts,
+    cap_pad = cdiv(capacity, 128) * 128 + chunk
+    ranks_pad = jnp.concatenate(
+        [binned.rank_sorted,
+         jnp.zeros((cap_pad - capacity,), jnp.int32)]
     )
-
-    tiles_out = _composite(
-        records, binned.tile_x0, binned.tile_y0, binned.first_chunk,
-        binned.tile_of_chunk, n_tiles, chunk, interpret,
+    tiles_out = gather_composite(
+        rec_n.astype(jnp.float32), binned.perm, binned.inv_perm,
+        ranks_pad, binned.pos_of_entry, binned.surv_counts,
+        binned.seg_starts,
+        (binned.chunk_tile, binned.chunk_s0, binned.chunk_lo,
+         binned.chunk_hi, binned.chunk_first),
+        n_tiles, tiles_x, chunk, interpret,
     )
 
     # --- assemble images -------------------------------------------------
