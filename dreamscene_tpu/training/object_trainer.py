@@ -51,6 +51,7 @@ from dreamscene_tpu.models.gaussians import (
 from dreamscene_tpu.models.init import init_object_points
 from dreamscene_tpu.models.ply import load_splat_ply, save_splat_ply
 from dreamscene_tpu.rendering import RenderAug, object_render, sample_aug
+from dreamscene_tpu.utils.experiment import setup_experiment_logging
 from dreamscene_tpu.utils.media import write_video
 
 logger = logging.getLogger("dreamscene_tpu")
@@ -186,6 +187,7 @@ class ObjectTrainer:
         self.vis_path = self.exp_path / "vis"
         self.ckpt_path.mkdir(parents=True, exist_ok=True)
         self.vis_path.mkdir(parents=True, exist_ok=True)
+        setup_experiment_logging(self.exp_path, cfg)
 
         self.rng = np.random.default_rng(cfg.seed)
         self.cameras_extent = self.pose_args.default_radius

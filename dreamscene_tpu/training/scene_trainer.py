@@ -56,6 +56,7 @@ from dreamscene_tpu.training.object_trainer import (
     assemble_text_embeddings,
     scale_up_camera_ranges,
 )
+from dreamscene_tpu.utils.experiment import setup_experiment_logging
 from dreamscene_tpu.utils.media import write_video
 
 logger = logging.getLogger("dreamscene_tpu")
@@ -119,6 +120,7 @@ class SceneTrainer:
         self.vis_path = self.exp_path / "vis"
         for p in (self.ckpt_path, self.scene_ckpt_path, self.vis_path):
             p.mkdir(parents=True, exist_ok=True)
+        setup_experiment_logging(self.exp_path, cfg)
 
         self.rng = np.random.default_rng(cfg.seed)
         self.cameras_extent = self.pose_args.default_radius

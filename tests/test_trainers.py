@@ -48,7 +48,11 @@ class TestObjectTrainer:
 
         cfg = tiny_object_cfg(tmp_path)
         tr = ObjectTrainer(cfg, exp_root=str(tmp_path), interpret=True)
+        # observability: per-experiment log sink + config snapshot
+        # (reference: scene_trainer.py:56-65, 254-259)
+        assert (tr.exp_path / "config_snapshot.yaml").exists()
         tr.prepare_train()
+        assert (tr.exp_path / "log.txt").exists()
         xyz0 = np.asarray(tr.state.params.xyz).copy()
         loss = tr.train_step()
         assert np.isfinite(loss)
