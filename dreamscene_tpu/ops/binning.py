@@ -40,6 +40,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from dreamscene_tpu.ops.expand import expand_entries
+
 TILE = 16          # pixels per tile side
 TILE_PIX = TILE * TILE
 
@@ -50,6 +52,7 @@ def cdiv(a: int, b: int) -> int:
 
 class BinnedSplats(NamedTuple):
     rank_sorted: jnp.ndarray   # [capacity] int32 depth rank of sorted entry
+    gid_sorted: jnp.ndarray    # [capacity] int32 original splat id of entry
     chunk_tile: jnp.ndarray    # [n_chunks] int32 tile id (n_tiles = trash)
     chunk_s0: jnp.ndarray      # [n_chunks] int32 128-aligned sorted column
     chunk_lo: jnp.ndarray      # [n_chunks] int32 first live lane of chunk
@@ -82,6 +85,7 @@ def bin_splats(
     height: int,
     capacity: int,
     chunk: int = 128,
+    interpret: bool = False,
 ) -> BinnedSplats:
     """Build the tile-sorted, depth-ordered entry table + chunk metadata."""
     n = means2d.shape[0]
@@ -93,89 +97,75 @@ def bin_splats(
     means2d = jax.lax.stop_gradient(means2d)
     depths_sg = jax.lax.stop_gradient(depths)
 
-    # 1. depth pre-sort: positive-f32 bit patterns sort like ints, and the
-    # stable sort keeps original-index tie order. Everything below works in
-    # depth-rank space (rank 0 = nearest).
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(depths_sg, 1e-6).astype(jnp.float32), jnp.int32
-    )
-    idx = jnp.arange(n, dtype=jnp.int32)
-    _, perm = jax.lax.sort((depth_bits, idx), num_keys=1)
-    # invert the permutation with a second small sort (2-op sorts run at
-    # ~0.4ms/300K on v5e; an equivalent int scatter measured 1.75ms)
-    _, inv_perm = jax.lax.sort((perm, idx), num_keys=1)
-
-    # 2. touched-tile rects in RANK order (one packed row gather).
+    # 1. touched-tile rects in ORIGINAL order (all elementwise).
     # CUDA getRect semantics (rect of tiles covering mean +- radius).
-    geo = jnp.stack(
-        [means2d[:, 0], means2d[:, 1], radii.astype(jnp.float32),
-         visible.astype(jnp.float32)],
-        axis=1,
-    )[perm]                                               # [N, 4]
-    mx, my, r, vis = geo[:, 0], geo[:, 1], geo[:, 2], geo[:, 3] > 0.5
+    mx, my = means2d[:, 0], means2d[:, 1]
+    r = radii.astype(jnp.float32)
+    vis = visible.astype(bool)
     x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
     nx = jnp.where(vis, x1 - x0, 0)
     ny = jnp.where(vis, y1 - y0, 0)
-    count = nx * ny                                       # [N] rank order
+    count0 = nx * ny                                      # [N] original order
+    # basenx packs the splat's first tile id and rect width into one i32
+    # (nx <= tiles_x <= 255 for any width <= 4080 px).
+    assert tiles_x <= 255, "image wider than 4080 px: widen basenx packing"
+    basenx0 = (y0 * tiles_x + x0) * 256 + nx
+
+    # 2. depth pre-sort with EMPTY SPLATS FORCED TO THE TAIL: positive-f32
+    # bit patterns sort like u32 ints and stay below 2^31, so oring
+    # (count==0) into bit 31 of a u32 key sorts all entry-producing splats
+    # front in depth order and all empties last — at zero extra cost.
+    # This makes `offsets` strictly increasing over the kept prefix —
+    # the contiguity the expand kernel's splat windows rely on. The geo
+    # columns ride the same sort as payloads (a 4-operand 300K sort costs
+    # ~0.4ms more than 2-operand; the alternative [N,2] row gather by
+    # perm measured 1.8ms). Rank r >= n_kept (empty) owns zero entries.
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths_sg, 1e-6).astype(jnp.float32), jnp.uint32
+    )
+    dkey = depth_bits | (jnp.uint32(1) << 31) * (count0 == 0).astype(jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, perm, basenx, count = jax.lax.sort(
+        (dkey, idx, basenx0, count0), num_keys=1
+    )
+    # invert the permutation with a second small sort (2-op sorts run at
+    # ~0.4ms/300K on v5e; an equivalent int scatter measured 1.75ms)
+    _, inv_perm = jax.lax.sort((perm, idx), num_keys=1)
+
     offsets = jnp.cumsum(count) - count                   # exclusive
     total = jnp.minimum(offsets[-1] + count[-1], capacity)
     n_dropped = jnp.maximum(offsets[-1] + count[-1] - capacity, 0)
 
-    # 3. entry -> rank + per-entry splat fields, all via ONE 3-column
-    # delta scatter + cumsum ("segmented broadcast").
-    # PERF NOTES (measured on v5e): XLA row gathers cost ~150ns/ROW
-    # regardless of width (a [1.2M,2] gather = 6.2ms, a 1-D scalar gather
-    # = 8ms) — but the per-entry fields here are constant across each
-    # splat's contiguous entry run, so scattering per-splat DELTAS at the
-    # run starts and integrating with a cumsum reconstructs them exactly
-    # (ints are exact under cumsum) with no gather at all. Empty splats
-    # stack their deltas at the same offset and cancel correctly.
-    # The same construction guarantees slot < count for every e < total,
-    # so no count column and no validity fix-up are needed.
-    # basenx packs the splat's first tile id and rect width into one i32
-    # (nx <= tiles_x <= 255 for any width <= 4080 px).
-    assert tiles_x <= 255, "image wider than 4080 px: widen basenx packing"
-    basenx = (y0 * tiles_x + x0) * 256 + nx
-
-    def _prev(v):
-        return jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]])
-
-    dmat = jnp.stack(
-        [jnp.ones((n,), jnp.int32), basenx - _prev(basenx),
-         offsets - _prev(offsets)],
-        axis=1,
-    )                                                     # [N, 3]
-    seg = jnp.zeros((capacity, 3), jnp.int32).at[offsets].add(
-        dmat, mode="drop"
-    )
-    csum3 = jnp.cumsum(seg, axis=0)                       # [capacity, 3]
-    drank = csum3[:, 0] - 1
-    basenx_e = csum3[:, 1]
-    offs_e = csum3[:, 2]
-    e = jnp.arange(capacity, dtype=jnp.int32)
-    slot = e - offs_e
-    valid = e < total
-    gnx = jnp.maximum(basenx_e % 256, 1)
-    tile = jnp.where(
-        valid, basenx_e // 256 + (slot // gnx) * tiles_x + slot % gnx,
-        n_tiles,
-    )
-
-    # 4. sort entries by (tile, rank) carrying only the entry index.
-    # Fast path: one packed uint32 key — halves the sort operands vs the
-    # 2-key form; exact fallback when (tile, rank) exceeds 32 bits.
+    # 3. per-entry packed sort key (tile << shift | rank) and original
+    # splat id via the Pallas ragged-expand kernel (ops/expand.py) — the
+    # XLA delta-scatter+cumsum formulation measured 13.1ms at 300K->1.2M
+    # (layout-transposed scatter writes); the kernel's window matmuls do
+    # it in <1ms. Emitting gid here lets the entry sort carry the
+    # record-gather index directly, deleting the [N,16] depth-reorder
+    # gather of the record table (measured 1.9-6.6ms depending on XLA's
+    # layout mood).
     shift = max(int(n - 1).bit_length(), 1)
-    drank_c = jnp.clip(drank, 0, n - 1)
-    if (n_tiles + 1) * (1 << shift) <= (1 << 32):
-        key = (tile.astype(jnp.uint32) << shift) | drank_c.astype(jnp.uint32)
-        key_s, e_s = jax.lax.sort((key, e), num_keys=1)
-        tile_s = (key_s >> shift).astype(jnp.int32)
-        rank_s = (key_s & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
-    else:
-        tile_s, rank_s, e_s = jax.lax.sort((tile, drank_c, e), num_keys=2)
+    assert (n_tiles + 1) * (1 << shift) <= (1 << 32), (
+        "packed sort key exceeds 32 bits (image too large for N); "
+        "reduce render size or splat count"
+    )
+    key_i32, gid = expand_entries(
+        offsets, basenx, perm, total,
+        capacity=capacity, n=n, n_tiles=n_tiles, tiles_x=tiles_x,
+        shift=shift, interpret=interpret,
+    )
+
+    # 4. sort entries by the packed key (u32-reinterpreted: the in-kernel
+    # i32 shift may wrap into the sign bit), carrying the entry index and
+    # the splat id.
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    key_u = jax.lax.bitcast_convert_type(key_i32, jnp.uint32)
+    key_s, e_s, gid_s = jax.lax.sort((key_u, e, gid), num_keys=1)
+    tile_s = (key_s >> shift).astype(jnp.int32)
+    rank_s = (key_s & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
 
     # 5. per-chunk metadata from per-tile runs (1025 binary searches over
     # the sorted keys — cheap; a scatter-add histogram is not). Each
@@ -241,6 +231,7 @@ def bin_splats(
 
     return BinnedSplats(
         rank_sorted=rank_s,
+        gid_sorted=gid_s,
         chunk_tile=chunk_tile,
         chunk_s0=chunk_s0,
         chunk_lo=chunk_lo,

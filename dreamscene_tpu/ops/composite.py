@@ -67,6 +67,23 @@ ACC_ROWS = 8
 
 NBUF = 4     # record-stream multi-buffering depth
 
+CENTER = 7.5   # tile-recentering offset: px' = px - x0 - CENTER, |px'|<=7.5
+N_MOM = 8      # pixel-moment rows [1, px', py', px'^2, py'^2, px'py', 0, 0]
+
+
+def _pixel_moments():
+    """[N_MOM, 256] tile-local pixel moments (tile-independent after
+    recentering: px' = p%16 - CENTER regardless of tile origin)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (N_MOM, TILE_PIX), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (N_MOM, TILE_PIX), 1)
+    px = (p % TILE).astype(jnp.float32) - CENTER
+    py = (p // TILE).astype(jnp.float32) - CENTER
+    rows = [jnp.ones_like(px), px, py, px * px, py * py, px * py]
+    out = jnp.zeros_like(px)
+    for i, r_ in enumerate(rows):
+        out = jnp.where(k == i, r_, out)
+    return out
+
 
 def _pixel_coords(x0, y0):
     """Tile pixel coordinates as [256, 1] sublane vectors (row-major 16x16)."""
@@ -297,13 +314,14 @@ def _bwd_kernel(
     # scratch
     acc_ref, buf_ref, sem_ref,
     fbuf_ref, gbuf_ref, tsem_ref,
-    col_ref, obuf_ref, osem_ref,
+    col_ref, obuf_ref, osem_ref, mom_ref,
     *, tiles_x, chunk,
 ):
     # acc_ref is COLUMN-form [256, 8] (pixels on sublanes); col_ref caches
     # the tile's cotangent/final rows transposed to column form once per
     # tile: cols 0..3 g_rgbd, 4 g_t, 5 t_final, 6 (c_final . g_rgbd).
     n_chunks = tile_ref.shape[0]
+    mom_ref[...] = _pixel_moments()
 
     def rec_dma(slot, u):
         return pltpu.make_async_copy(
@@ -440,19 +458,40 @@ def _bwd_kernel(
 
             # through alpha = min(0.99, opa*exp(power))
             unclamped = (v["raw"] < ALPHA_MAX).astype(jnp.float32)
-            g_exp = galpha * unclamped
-            gpower = g_exp * v["raw"]                         # [256, CHUNK]
-            g_opa = jnp.sum(g_exp * jnp.exp(v["power"]), axis=0, keepdims=True)
+            gpower = galpha * unclamped * v["raw"]            # [256, CHUNK]
 
-            dx, dy = v["dx"], v["dy"]
+            # Per-entry gradient reductions as ONE moment matmul instead of
+            # five [256,CHUNK] sublane-reduce chains (plus an exp recompute
+            # for g_opa): every reduction is a polynomial in pixel coords,
+            # so G[k,g] = sum_p moment_k(p) * gpower[p,g] gives them all.
+            # Moments use TILE-RECENTERED coords (|px'|<=8) and the splat
+            # mean recentered likewise, keeping the expanded-quadratic
+            # terms bounded (~(r+16)^2*conic) so fp32 cancellation error
+            # stays ~1e-5 of the true gradient.
+            G = jax.lax.dot_general(
+                mom_ref[...], gpower, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [8, CHUNK]
+            G0 = G[0:1, :]
+            G1 = G[1:2, :]
+            G2 = G[2:3, :]
+            G3 = G[3:4, :]
+            G4 = G[4:5, :]
+            G5 = G[5:6, :]
+
             ca = rec[F_CA:F_CA + 1, :]
             cb = rec[F_CB:F_CB + 1, :]
             cc = rec[F_CC:F_CC + 1, :]
-            g_mx = jnp.sum(gpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-            g_my = jnp.sum(gpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
-            g_ca = jnp.sum(gpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-            g_cb = jnp.sum(gpower * (-dx * dy), axis=0, keepdims=True)
-            g_cc = jnp.sum(gpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            mxc = rec[F_MX:F_MX + 1, :] - x0.astype(jnp.float32) - CENTER
+            myc = rec[F_MY:F_MY + 1, :] - y0.astype(jnp.float32) - CENTER
+            # gpower/opa = galpha*unclamped*exp(power); masked lanes have
+            # G0 == 0 so the guard only dodges 0/0 on zero-padded records.
+            g_opa = G0 / jnp.maximum(rec[F_OPA:F_OPA + 1, :], 1e-20)
+            g_mx = -(ca * mxc + cb * myc) * G0 + ca * G1 + cb * G2
+            g_my = -(cc * myc + cb * mxc) * G0 + cc * G2 + cb * G1
+            g_ca = -0.5 * (mxc * mxc * G0 - 2.0 * mxc * G1 + G3)
+            g_cb = -(mxc * myc * G0 - mxc * G2 - myc * G1 + G5)
+            g_cc = -0.5 * (myc * myc * G0 - 2.0 * myc * G2 + G4)
 
             acc_ref[:, A_T:A_T + 1] = v["t_new"]
 
@@ -525,6 +564,7 @@ def composite_backward(
             pltpu.VMEM((TILE_PIX, 8), jnp.float32),
             pltpu.VMEM((2, REC_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_MOM, TILE_PIX), jnp.float32),
         ],
     )
     (grec_t,) = pl.pallas_call(

@@ -38,18 +38,19 @@ from dreamscene_tpu.ops.composite import (
 from dreamscene_tpu.ops.projection import project_gaussians
 
 
-def _gather(rec_n, perm, ranks_pad):
-    """records_t[:, s] = rec_n[perm[ranks_pad[s]]], as two row gathers
-    (N-row depth reorder, then the big rank gather into sorted-entry
-    order) plus a transpose into the field-major layout the composite
+def _gather(rec_n, gid_pad):
+    """records_t[:, s] = rec_n[gid_pad[s]]: ONE row gather straight from
+    the original-order record table into sorted-entry order (the entry
+    sort carries the original splat id as payload, ops/binning.py step
+    4), plus a transpose into the field-major layout the composite
     kernels DMA ([16, cap_pad]: lane-aligned [16, CHUNK] slices).
     Columns past `n_entries` gather arbitrary (real) rows — the kernels
     mask them by the per-chunk live window, so no select is needed."""
-    return jnp.transpose(rec_n[perm][ranks_pad])
+    return jnp.transpose(rec_n[gid_pad])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def gather_composite(rec_n, perm, inv_perm, ranks_pad, pos_of_entry, surv,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def gather_composite(rec_n, inv_perm, gid_pad, pos_of_entry, surv,
                      seg_starts, chunks, n_tiles, tiles_x, chunk, interpret):
     """Record gather + Pallas compositing under ONE custom VJP (the
     backward's chunk-aligned field-major grad table is an internal layout
@@ -63,17 +64,17 @@ def gather_composite(rec_n, perm, inv_perm, ranks_pad, pos_of_entry, surv,
     reduce each rank's segment with a cumsum difference (XLA's log-tree
     cumsum keeps fp32 error ~1e-6 relative), and undo the depth
     permutation with one small row gather."""
-    records_t = _gather(rec_n, perm, ranks_pad)
+    records_t = _gather(rec_n, gid_pad)
     return composite_forward(
         records_t, *chunks,
         n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk, interpret=interpret,
     )
 
 
-def _gather_composite_fwd(rec_n, perm, inv_perm, ranks_pad, pos_of_entry,
+def _gather_composite_fwd(rec_n, inv_perm, gid_pad, pos_of_entry,
                           surv, seg_starts, chunks, n_tiles, tiles_x, chunk,
                           interpret):
-    records_t = _gather(rec_n, perm, ranks_pad)
+    records_t = _gather(rec_n, gid_pad)
     out = composite_forward(
         records_t, *chunks,
         n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk, interpret=interpret,
@@ -102,7 +103,7 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     )
     grad_rank = jnp.where((surv > 0)[:, None], top - bot, 0.0)   # [N, 16]
     grad_n = grad_rank[inv_perm]
-    return grad_n, None, None, None, None, None, None, None
+    return grad_n, None, None, None, None, None, None
 
 
 gather_composite.defvjp(_gather_composite_fwd, _gather_composite_bwd)
@@ -174,7 +175,7 @@ def render(
 
     binned = bin_splats(
         means2d, splats.depths, splats.radii, splats.visible,
-        width, height, capacity=capacity, chunk=chunk,
+        width, height, capacity=capacity, chunk=chunk, interpret=interpret,
     )
 
     # --- gather per-entry records (differentiable: grads scatter-add back)
@@ -190,13 +191,13 @@ def render(
         axis=1,
     )
     cap_pad = cdiv(capacity, 128) * 128 + chunk
-    ranks_pad = jnp.concatenate(
-        [binned.rank_sorted,
+    gid_pad = jnp.concatenate(
+        [binned.gid_sorted,
          jnp.zeros((cap_pad - capacity,), jnp.int32)]
     )
     tiles_out = gather_composite(
-        rec_n.astype(jnp.float32), binned.perm, binned.inv_perm,
-        ranks_pad, binned.pos_of_entry, binned.surv_counts,
+        rec_n.astype(jnp.float32), binned.inv_perm,
+        gid_pad, binned.pos_of_entry, binned.surv_counts,
         binned.seg_starts,
         (binned.chunk_tile, binned.chunk_s0, binned.chunk_lo,
          binned.chunk_hi, binned.chunk_first),
