@@ -84,7 +84,7 @@ def bin_splats(
     width: int,
     height: int,
     capacity: int,
-    chunk: int = 128,
+    chunk: int = 256,
     interpret: bool = False,
 ) -> BinnedSplats:
     """Build the tile-sorted, depth-ordered entry table + chunk metadata."""

@@ -264,7 +264,7 @@ def composite_forward(
     chunk_first: jnp.ndarray,   # [n_chunks + 1] int32 1 = chunk starts a tile
     n_tiles: int,
     tiles_x: int,
-    chunk: int = 128,
+    chunk: int = 256,
     interpret: bool = False,
 ):
     n_chunks = chunk_tile.shape[0]
@@ -537,7 +537,7 @@ def composite_backward(
     grad_accums: jnp.ndarray,    # [n_tiles+1, 8, 256] cotangents
     n_tiles: int,
     tiles_x: int,
-    chunk: int = 128,
+    chunk: int = 256,
     interpret: bool = False,
 ):
     n_chunks = chunk_tile.shape[0]

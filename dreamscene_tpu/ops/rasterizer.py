@@ -93,15 +93,22 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     grec = jnp.transpose(grec_t)                  # [n_chunks*chunk, 16]
     capacity = pos_of_entry.shape[0]
     grec_e = grec[pos_of_entry]                   # [capacity, 16] expansion ord
+    # zero rows past the live entries: segments are CONSECUTIVE in
+    # expansion order (ends[r] == starts[r+1] up to dropped entries,
+    # which are exactly the zeroed rows), so one boundary gather at
+    # starts-1 yields both segment ends — top[r] = bot[r+1] — instead of
+    # separate top/bot gathers (each ~1.4-1.9ms at 300K rows on v5e).
+    n_live = jnp.sum(surv)
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    grec_e = jnp.where((e < n_live)[:, None], grec_e, 0.0)
     csum = jnp.cumsum(grec_e, axis=0)
-    ends = seg_starts + surv                      # exclusive, rank order
-    top = csum[jnp.clip(ends - 1, 0, capacity - 1)]
     bot = jnp.where(
         (seg_starts > 0)[:, None],
         csum[jnp.clip(seg_starts - 1, 0, capacity - 1)],
         0.0,
-    )
-    grad_rank = jnp.where((surv > 0)[:, None], top - bot, 0.0)   # [N, 16]
+    )                                             # [N, 16]
+    top = jnp.concatenate([bot[1:], csum[-1:]], axis=0)
+    grad_rank = top - bot                         # [N, 16] rank order
     grad_n = grad_rank[inv_perm]
     return grad_n, None, None, None, None, None, None
 
@@ -126,7 +133,7 @@ def render(
     sh_degree: int = 3,
     scale_modifier: float = 1.0,
     capacity: int | None = None,
-    chunk: int = 128,
+    chunk: int = 256,
     valid_mask: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,

@@ -63,7 +63,7 @@ def _render_band(inputs, cam, width, band_h, y_offset, bg, sh_degree,
 
 
 def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
-                        capacity: int, chunk: int = 128,
+                        capacity: int, chunk: int = 256,
                         interpret: bool = False):
     """Returns render_fn(inputs, cam_stack, bg) -> images [B,3,H,W] with B
     sharded over "dp" and H over "tp"."""
@@ -95,7 +95,7 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
 
 def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
                             sh_degree: int, capacity: int, n_rungs: int = 1,
-                            guidance_scale: float = 7.5, chunk: int = 128,
+                            guidance_scale: float = 7.5, chunk: int = 256,
                             interpret: bool = False):
     """Full multi-chip FPS training step: sharded render -> dp-sharded
     guidance ladder -> psum'd parameter grads -> masked Adam. The returned
