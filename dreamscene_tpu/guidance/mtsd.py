@@ -66,6 +66,12 @@ class GuidanceModules(NamedTuple):
     scaling_factor: float
     schedule: DiffusionSchedule
     downscale: int = 8    # image->latent spatial factor (8 for SD)
+    # optional depth ControlNet: (params, latents, t, ctx, cond_nhwc) ->
+    # (down_residuals, mid_residual). NOTE the reference only ever LOADS
+    # its controlnet_depth (multitime_sd_utils.py:88-91) and never invokes
+    # it; here the use_control_net_iter hook actually conditions the UNet.
+    controlnet_apply: Any = None
+    controlnet_params: Any = None
 
 
 def encode_images(mods: GuidanceModules, images_nchw, key):
@@ -126,19 +132,21 @@ def ladder_scores(
     text_emb,           # [3B, L, D]  (cond | uncond | inverse)
     n_rungs: int,       # static = len(ts)
     eta: float = 0.0,
+    cond_image=None,    # [B, H, W, C] NHWC depth hint -> ControlNet
 ):
     """DDIM-inversion ladder; returns list of (t, (cond, uncond, blank),
     noisy_latent) for t in [0, ts...]. No gradients flow (wrap in
     stop_gradient upstream)."""
     b = latents.shape[0]
     lat = add_noise(mods.schedule, latents, noise, jnp.zeros((b,), jnp.int32))
+    cond3 = _cond3(mods, cond_image)
     outs = []
     t_prev = jnp.zeros((), jnp.int32)
     for i in range(n_rungs + 1):
         t_i = t_prev if i == 0 else ts[i - 1]
         inp = jnp.concatenate([lat, lat, lat], axis=0)
         t_b = jnp.full((3 * b,), t_i, jnp.int32)
-        eps = mods.unet_apply(mods.unet_params, inp, t_b, text_emb)
+        eps = _apply_unet(mods, inp, t_b, text_emb, cond3)
         cond, uncond, blank = jnp.split(eps, 3, axis=0)
         outs.append((t_i, (cond, uncond, blank), lat))
         if i < n_rungs:
@@ -149,6 +157,28 @@ def ladder_scores(
             )
             t_prev = t_next
     return outs
+
+
+def _cond3(mods: GuidanceModules, cond_image):
+    """Tile the ControlNet hint across the (cond|uncond|inverse) triple;
+    None (or no controlnet loaded) disables conditioning."""
+    if cond_image is None or mods.controlnet_apply is None:
+        return None
+    return jnp.concatenate([cond_image] * 3, axis=0)
+
+
+def _apply_unet(mods: GuidanceModules, inp, t_b, text_emb, cond3):
+    """UNet call with optional ControlNet residual injection (the
+    diffusers down/mid additional-residuals contract; reference loads the
+    depth ControlNet at multitime_sd_utils.py:88-91)."""
+    if cond3 is None:
+        return mods.unet_apply(mods.unet_params, inp, t_b, text_emb)
+    res = mods.controlnet_apply(
+        mods.controlnet_params, inp, t_b, text_emb, cond3
+    )
+    return mods.unet_apply(
+        mods.unet_params, inp, t_b, text_emb, control_res=res
+    )
 
 
 def csd_grad(mods: GuidanceModules, scores, guidance_scale: float,
@@ -195,6 +225,7 @@ def denoise_ladder(
     cfg: float = 1.0,
     eta: float = 0.0,
     is_noisy_latent: bool = False,
+    cond_image=None,
 ):
     """Full CFG *denoising* walk (reference denoise_with_cfg,
     multitime_sd_utils.py:560-628): noise to ts[0], then step through the
@@ -205,12 +236,13 @@ def denoise_ladder(
         lat = latents
     else:
         lat = add_noise(mods.schedule, latents, noise, jnp.full((b,), ts[0]))
+    cond3 = _cond3(mods, cond_image)
     outs = []
     t_i = ts[0]
     for i in range(n_rungs):
         inp = jnp.concatenate([lat, lat, lat], axis=0)
         t_b = jnp.full((3 * b,), t_i, jnp.int32)
-        eps = mods.unet_apply(mods.unet_params, inp, t_b, text_emb)
+        eps = _apply_unet(mods, inp, t_b, text_emb, cond3)
         cond, uncond, blank = jnp.split(eps, 3, axis=0)
         outs.append((t_i, (cond, uncond, blank), lat))
         pred_noise = uncond + cfg * (cond - uncond)
@@ -337,13 +369,35 @@ class MTSD:
     def should_flip(self) -> bool:
         return bool(self._rng.random() < 0.5)
 
+    def use_controlnet(self, step: int, optim_params) -> bool:
+        """Host-side depth-ControlNet gate (reference
+        training/object_trainer.py:343-348 / scene_trainer.py:835-840:
+        step > use_control_net_iter and a controlnet_ratio coin-flip).
+        False whenever no ControlNet is loaded."""
+        if self.mods.controlnet_apply is None:
+            return False
+        if step <= getattr(optim_params, "use_control_net_iter", 1 << 30):
+            return False
+        ratio = getattr(self.guidance_opt, "controlnet_ratio", 0.5)
+        return bool(self._rng.random() < ratio)
+
 
 def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
-                       context_dim: int = 32, seed: int = 0):
-    """Randomly-initialized miniature SD stack for tests/dry-runs."""
+                       context_dim: int = 32, seed: int = 0,
+                       with_controlnet: bool = False,
+                       downscale: int | None = None):
+    """Randomly-initialized miniature SD stack for tests/dry-runs.
+
+    downscale: override the image->latent factor (default 2 from the
+    2-block tiny VAE; pass 8 for SD-realistic latent shapes — used by the
+    full-resolution multichip dryrun, where 512^2 images must reach the
+    UNet as 64^2 latents like real SD)."""
+    import dataclasses as _dc
+
     import flax.linen as nn
 
     from dreamscene_tpu.guidance.sd_flax import (
+        FlaxControlNet,
         FlaxUNet2DCondition,
         FlaxVAEDecoder,
         FlaxVAEEncoder,
@@ -353,15 +407,31 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
 
     ucfg = tiny_unet_config()
     vcfg = tiny_vae_config()
+    if downscale is not None:
+        n_blocks = max(int(np.log2(downscale)), 0) + 1
+        vcfg = _dc.replace(
+            vcfg, block_out_channels=(32,) * n_blocks, layers_per_block=1
+        )
     unet = FlaxUNet2DCondition(ucfg)
     enc = FlaxVAEEncoder(vcfg)
     dec = FlaxVAEDecoder(vcfg)
     key = jax.random.key(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     up = unet.init(k1, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
                    jnp.zeros((1, 4, ucfg.cross_attention_dim)))
     ep = enc.init(k2, jnp.zeros((1, 32, 32, 3)))
     dp = dec.init(k3, jnp.zeros((1, 8, 8, 4)))
+    downscale = 2 ** (len(vcfg.block_out_channels) - 1)
+
+    cn_apply = cn_params = None
+    if with_controlnet:
+        cn = FlaxControlNet(ucfg, downscale=downscale)
+        cn_params = cn.init(
+            k4, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 4, ucfg.cross_attention_dim)),
+            jnp.zeros((1, 8 * downscale, 8 * downscale, 3)),
+        )
+        cn_apply = cn.apply
 
     mods = GuidanceModules(
         unet_apply=unet.apply,
@@ -372,7 +442,9 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
         vae_decode_params=dp,
         scaling_factor=vcfg.scaling_factor,
         schedule=make_schedule(),
-        downscale=2 ** (len(vcfg.block_out_channels) - 1),
+        downscale=downscale,
+        controlnet_apply=cn_apply,
+        controlnet_params=cn_params,
     )
 
     rng = np.random.default_rng(seed)

@@ -182,12 +182,17 @@ class SpatialTransformer(nn.Module):
 
 
 class FlaxUNet2DCondition(nn.Module):
-    """SD-style conditional UNet. NHWC layout (TPU-native conv layout)."""
+    """SD-style conditional UNet. NHWC layout (TPU-native conv layout).
+
+    `control_res = (down_residuals, mid_residual)` injects ControlNet
+    residuals: one per skip connection plus one on the mid state
+    (diffusers UNet2DConditionModel down_block_additional_residuals /
+    mid_block_additional_residual contract)."""
 
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, latents, timesteps, context):
+    def __call__(self, latents, timesteps, context, control_res=None):
         """latents [B,H,W,Cin]; timesteps [B]; context [B,L,D]."""
         cfg = self.config
         dt = cfg.dtype
@@ -222,6 +227,11 @@ class FlaxUNet2DCondition(nn.Module):
                 )(x)
                 skips.append(x)
 
+        if control_res is not None:
+            down_res, mid_res = control_res
+            assert len(down_res) == len(skips), (len(down_res), len(skips))
+            skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_res)]
+
         # mid
         ch = cfg.block_out_channels[-1]
         heads, hdim = cfg.heads_for(ch)
@@ -231,6 +241,8 @@ class FlaxUNet2DCondition(nn.Module):
             cfg.num_groups, dt, name="mid_attn",
         )(x, context)
         x = ResnetBlock(ch, cfg.num_groups, dt, name="mid_res_1")(x, temb)
+        if control_res is not None:
+            x = x + mid_res.astype(x.dtype)
 
         # up
         for i, ch in reversed(list(enumerate(cfg.block_out_channels))):
@@ -255,6 +267,103 @@ class FlaxUNet2DCondition(nn.Module):
             cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out"
         )(x)
         return x.astype(jnp.float32)
+
+
+class FlaxControlNet(nn.Module):
+    """ControlNet (depth-conditioned) sharing the UNet's down+mid
+    architecture: a conditioning-embedding conv stack maps the hint image
+    into latent space, the UNet encoder runs on latents + hint, and
+    zero-initialised 1x1 convs project every skip state + the mid state
+    into residuals for `FlaxUNet2DCondition(control_res=...)`.
+
+    Matches diffusers `ControlNetModel` (the reference loads
+    lllyasviel/sd-controlnet-depth via guidance/multitime_sd_utils.py:88-91
+    — note the reference never actually INVOKES it; see
+    guidance/mtsd.py for how the TPU build wires it for real). Zero convs
+    make the untrained module an exact no-op on the UNet."""
+
+    config: UNetConfig
+    cond_channels: int = 3           # depth hint replicated to 3 channels
+    downscale: int = 8               # image->latent factor (stride-2 stages)
+
+    @nn.compact
+    def __call__(self, latents, timesteps, context, cond):
+        """latents [B,H,W,4]; timesteps [B]; context [B,L,D];
+        cond [B, downscale*H, downscale*W, cond_channels] full-res hint.
+        Returns (down_residuals tuple, mid_residual)."""
+        cfg = self.config
+        dt = cfg.dtype
+        ch0 = cfg.block_out_channels[0]
+        temb_dim = ch0 * 4
+
+        temb = timestep_embedding(timesteps, ch0)
+        temb = nn.Dense(temb_dim, dtype=dt, name="time_embedding_linear_1")(temb)
+        temb = nn.Dense(temb_dim, dtype=dt, name="time_embedding_linear_2")(
+            nn.silu(temb)
+        )
+
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(
+            latents.astype(dt)
+        )
+        context = context.astype(dt)
+
+        # conditioning embedding: 3x3 conv stack, stride-2 pyramid down to
+        # latent resolution, zero-init final conv (diffusers
+        # ControlNetConditioningEmbedding contract)
+        c = nn.Conv(16, (3, 3), padding=1, dtype=dt, name="cond_in")(
+            cond.astype(dt)
+        )
+        c = nn.silu(c)
+        stages = int(math.log2(self.downscale))
+        chans = (16, 32, 96, 256)[: stages + 1]
+        for k in range(stages):
+            c = nn.silu(nn.Conv(chans[k], (3, 3), padding=1, dtype=dt,
+                                name=f"cond_block_{2*k}")(c))
+            c = nn.silu(nn.Conv(chans[k + 1], (3, 3), strides=2, padding=1,
+                                dtype=dt, name=f"cond_block_{2*k+1}")(c))
+        c = nn.Conv(ch0, (3, 3), padding=1, dtype=dt,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, name="cond_out")(c)
+        x = x + c
+
+        def zero_conv(h, name):
+            return nn.Conv(h.shape[-1], (1, 1), dtype=dt,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros, name=name)(h)
+
+        residuals = [zero_conv(x, "ctrl_down_0")]
+        zc = 1
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(ch, cfg.num_groups, dt,
+                                name=f"down_{i}_res_{j}")(x, temb)
+                if cfg.with_cross_attn[i]:
+                    heads, hdim = cfg.heads_for(ch)
+                    x = SpatialTransformer(
+                        ch, heads, hdim, cfg.cross_attention_dim,
+                        cfg.num_groups, dt, name=f"down_{i}_attn_{j}",
+                    )(x, context)
+                residuals.append(zero_conv(x, f"ctrl_down_{zc}"))
+                zc += 1
+            if i < len(cfg.block_out_channels) - 1:
+                x = nn.Conv(ch, (3, 3), strides=2, padding=1, dtype=dt,
+                            name=f"down_{i}_downsample")(x)
+                residuals.append(zero_conv(x, f"ctrl_down_{zc}"))
+                zc += 1
+
+        ch = cfg.block_out_channels[-1]
+        heads, hdim = cfg.heads_for(ch)
+        x = ResnetBlock(ch, cfg.num_groups, dt, name="mid_res_0")(x, temb)
+        x = SpatialTransformer(
+            ch, heads, hdim, cfg.cross_attention_dim,
+            cfg.num_groups, dt, name="mid_attn",
+        )(x, context)
+        x = ResnetBlock(ch, cfg.num_groups, dt, name="mid_res_1")(x, temb)
+        mid = zero_conv(x, "ctrl_mid")
+
+        return tuple(r.astype(jnp.float32) for r in residuals), mid.astype(
+            jnp.float32
+        )
 
 
 # --------------------------------------------------------------------------

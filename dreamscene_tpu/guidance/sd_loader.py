@@ -152,6 +152,52 @@ def map_unet_state(sd: Mapping[str, np.ndarray], cfg: UNetConfig) -> dict:
     return {"params": out}
 
 
+def map_controlnet_state(sd: Mapping[str, np.ndarray],
+                         cfg: UNetConfig) -> dict:
+    """diffusers ControlNetModel torch state dict -> FlaxControlNet
+    params (guidance/sd_flax.py). Mirrors map_unet_state for the shared
+    encoder trunk; adds the conditioning embedding + zero convs."""
+    out: dict = {}
+    _conv(out, ("conv_in",), sd, "conv_in")
+    _dense(out, ("time_embedding_linear_1",), sd, "time_embedding.linear_1")
+    _dense(out, ("time_embedding_linear_2",), sd, "time_embedding.linear_2")
+
+    emb = "controlnet_cond_embedding"
+    _conv(out, ("cond_in",), sd, f"{emb}.conv_in")
+    for k in range(6):
+        _conv(out, (f"cond_block_{k}",), sd, f"{emb}.blocks.{k}")
+    _conv(out, ("cond_out",), sd, f"{emb}.conv_out")
+
+    n_blocks = len(cfg.block_out_channels)
+    prev_ch = cfg.block_out_channels[0]
+    zc = 1
+    _conv(out, ("ctrl_down_0",), sd, "controlnet_down_blocks.0")
+    for i, ch in enumerate(cfg.block_out_channels):
+        for j in range(cfg.layers_per_block):
+            in_ch = prev_ch if j == 0 else ch
+            _resnet(out, f"down_{i}_res_{j}", sd,
+                    f"down_blocks.{i}.resnets.{j}", in_ch != ch)
+            if cfg.with_cross_attn[i]:
+                _spatial_transformer(out, f"down_{i}_attn_{j}", sd,
+                                     f"down_blocks.{i}.attentions.{j}")
+            _conv(out, (f"ctrl_down_{zc}",), sd,
+                  f"controlnet_down_blocks.{zc}")
+            zc += 1
+        if i < n_blocks - 1:
+            _conv(out, (f"down_{i}_downsample",), sd,
+                  f"down_blocks.{i}.downsamplers.0.conv")
+            _conv(out, (f"ctrl_down_{zc}",), sd,
+                  f"controlnet_down_blocks.{zc}")
+            zc += 1
+        prev_ch = ch
+
+    _resnet(out, "mid_res_0", sd, "mid_block.resnets.0", False)
+    _spatial_transformer(out, "mid_attn", sd, "mid_block.attentions.0")
+    _resnet(out, "mid_res_1", sd, "mid_block.resnets.1", False)
+    _conv(out, ("ctrl_mid",), sd, "controlnet_mid_block")
+    return {"params": out}
+
+
 def _vae_resnet(out, prefix: str, sd, key: str, has_shortcut: bool):
     _norm(out, (prefix, "norm1"), sd, key + ".norm1")
     _conv(out, (prefix, "conv1"), sd, key + ".conv1")
@@ -300,6 +346,19 @@ def build_sd_guidance(model_dir: str, guidance_opt, height: int = 512,
         set_alpha_to_one=sched_cfg.get("set_alpha_to_one", False),
     )
 
+    # optional depth ControlNet (guidanceParams.controlnet_model_key
+    # points at a local diffusers ControlNetModel dir; reference loads
+    # lllyasviel/sd-controlnet-depth, multitime_sd_utils.py:88-91)
+    cn_apply = cn_params = None
+    cn_dir = getattr(guidance_opt, "controlnet_model_key", None)
+    if cn_dir and os.path.isdir(cn_dir):
+        from dreamscene_tpu.guidance.sd_flax import FlaxControlNet
+
+        cn = FlaxControlNet(ucfg)
+        cn_params = map_controlnet_state(load_torch_state(cn_dir), ucfg)
+        cn_apply = cn.apply
+        logger.info("loaded depth ControlNet from %s", cn_dir)
+
     mods = mtsd.GuidanceModules(
         unet_apply=unet.apply,
         unet_params=unet_params,
@@ -310,6 +369,8 @@ def build_sd_guidance(model_dir: str, guidance_opt, height: int = 512,
         scaling_factor=0.18215,
         schedule=schedule,
         downscale=8,
+        controlnet_apply=cn_apply,
+        controlnet_params=cn_params,
     )
 
     text_encode = make_clip_text_encoder(model_dir)

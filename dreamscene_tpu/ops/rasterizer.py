@@ -38,6 +38,22 @@ from dreamscene_tpu.ops.composite import (
 from dreamscene_tpu.ops.projection import project_gaussians
 
 
+def _u16_row_gather(src, idx):
+    """Exact f32 row gather through a uint16-pair bitcast. XLA's TPU
+    gather path runs ~5x faster on sub-32-bit element types (measured
+    v5e, 1.2M rows x 16 f32: 9.6-10.3 ms for any 32-bit element form vs
+    2.05 ms as u16x32 — scripts/micro_gather2/3.py); splitting each f32
+    into its two u16 halves is bit-exact."""
+    n, w = src.shape
+    s16 = jax.lax.bitcast_convert_type(
+        src.astype(jnp.float32), jnp.uint16
+    ).reshape(n, 2 * w)
+    g = s16[idx]
+    return jax.lax.bitcast_convert_type(
+        g.reshape(idx.shape[0], w, 2), jnp.float32
+    )
+
+
 def _gather(rec_n, gid_pad):
     """records_t[:, s] = rec_n[gid_pad[s]]: ONE row gather straight from
     the original-order record table into sorted-entry order (the entry
@@ -46,7 +62,7 @@ def _gather(rec_n, gid_pad):
     kernels DMA ([16, cap_pad]: lane-aligned [16, CHUNK] slices).
     Columns past `n_entries` gather arbitrary (real) rows — the kernels
     mask them by the per-chunk live window, so no select is needed."""
-    return jnp.transpose(rec_n[gid_pad])
+    return jnp.transpose(_u16_row_gather(rec_n, gid_pad))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
@@ -90,6 +106,13 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         out, g_out, n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
         interpret=interpret,
     )                                             # [16, n_chunks*chunk]
+    # NOTE on gather formulation (measured, v5e): XLA-TPU gather cost is
+    # dominated by SOURCE table size, and the u16-pair trick only wins on
+    # small sources — from the 300K-row record table it is 5x faster
+    # (_gather above), but from this 1.7M-row grad table the u16 form is
+    # SLOWER (12.8 ms fused / 19.6 ms materialized vs 7.7 ms for the
+    # plain f32 transpose+gather fusion; scripts/micro_gather4.py). Keep
+    # the f32 fusion here.
     grec = jnp.transpose(grec_t)                  # [n_chunks*chunk, 16]
     capacity = pos_of_entry.shape[0]
     grec_e = grec[pos_of_entry]                   # [capacity, 16] expansion ord
@@ -106,10 +129,10 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         (seg_starts > 0)[:, None],
         csum[jnp.clip(seg_starts - 1, 0, capacity - 1)],
         0.0,
-    )                                             # [N, 16]
-    top = jnp.concatenate([bot[1:], csum[-1:]], axis=0)
+    )                                             # [N, 16] (1.2M-row src:
+    top = jnp.concatenate([bot[1:], csum[-1:]], axis=0)  # f32 beats u16)
     grad_rank = top - bot                         # [N, 16] rank order
-    grad_n = grad_rank[inv_perm]
+    grad_n = _u16_row_gather(grad_rank, inv_perm)  # 300K-row src: u16 wins
     return grad_n, None, None, None, None, None, None
 
 
@@ -154,9 +177,6 @@ def render(
     n = means3d.shape[0]
     if capacity is None:
         capacity = max(4 * n, 2048)
-    tiles_x = cdiv(width, TILE)
-    tiles_y = cdiv(height, TILE)
-    n_tiles = tiles_x * tiles_y
 
     splats = project_gaussians(
         means3d, scales, quats, opacities, shs,
@@ -174,6 +194,38 @@ def render(
         # post-clamp color probe: its cotangent is the per-splat blend
         # weight sum (the comp- rasterizer's important_score)
         colors = colors + colors_probe
+    splats = splats._replace(means2d=means2d, colors=colors)
+    return render_from_splats(
+        splats, width, height, bg,
+        capacity=capacity, chunk=chunk,
+        pixel_offset_y=pixel_offset_y, interpret=interpret,
+    )
+
+
+def render_from_splats(
+    splats,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    capacity: int,
+    chunk: int = 256,
+    pixel_offset_y: jnp.ndarray | int = 0,
+    interpret: bool = False,
+) -> dict:
+    """Rasterize already-projected splats (a ProjectedSplats, probes
+    applied) into a height-row image starting at screen row
+    `pixel_offset_y`. Split out of `render` so the primitive-sharded
+    multi-chip path (parallel/sharded_render) can project each device's
+    LOCAL splat shard and all-gather the compact projected records — not
+    the raw parameters — to the tile-band owners; the all_gather's VJP
+    (psum_scatter) routes record gradients straight back to the owning
+    shard."""
+    n = splats.means2d.shape[0]
+    tiles_x = cdiv(width, TILE)
+    tiles_y = cdiv(height, TILE)
+    n_tiles = tiles_x * tiles_y
+
+    means2d = splats.means2d
     if not (isinstance(pixel_offset_y, int) and pixel_offset_y == 0):
         means2d = means2d - jnp.stack(
             [jnp.zeros_like(jnp.asarray(pixel_offset_y, jnp.float32)),
@@ -191,7 +243,7 @@ def render(
             means2d,                                   # 0,1
             splats.conics,                             # 2,3,4
             splats.opacities[:, None],                 # 5
-            colors,                                    # 6,7,8
+            splats.colors,                             # 6,7,8
             splats.depths[:, None],                    # 9
             jnp.zeros((n, REC_WIDTH - 10), means2d.dtype),
         ],

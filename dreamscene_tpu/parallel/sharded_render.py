@@ -31,7 +31,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dreamscene_tpu.models.gaussians import GaussianParams, adam_update
-from dreamscene_tpu.ops.rasterizer import render as raster_render
+from dreamscene_tpu.ops.projection import project_gaussians
+from dreamscene_tpu.ops.rasterizer import (
+    render as raster_render,
+    render_from_splats,
+)
 
 
 def make_mesh(n_dp: int, n_tp: int, devices=None) -> Mesh:
@@ -70,6 +74,9 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
     n_tp = mesh.shape["tp"]
     assert height % n_tp == 0, (height, n_tp)
     band_h = height // n_tp
+    # tile-aligned bands keep the per-tile rect-cull semantics identical
+    # to the single-chip render (the CUDA getRect contract is 16px tiles)
+    assert band_h % 16 == 0, (band_h, "bands must be tile-aligned")
 
     @functools.partial(
         jax.shard_map,
@@ -93,18 +100,89 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
     return render_fn
 
 
+def make_primitive_sharded_render(mesh: Mesh, width: int, height: int,
+                                  sh_degree: int, capacity: int,
+                                  chunk: int = 256, interpret: bool = False):
+    """Splat-sharded + tile-band-sharded SPMD render (the BASELINE.json
+    north star): device (d, t) holds splat shard t of the parameters
+    (1/n_tp of N — parameters, Adam state, and the projection compute all
+    scale with the mesh), projects ONLY its shard, `all_gather`s the
+    compact projected records (means2d/conic/color/depth/opacity ≈ 11
+    floats/splat — not the ≥59-float raw parameters) across "tp", and
+    rasterizes its own tile band. The all_gather's transpose is
+    `psum_scatter`, so the backward compositing pass reduces record
+    gradients straight back to the owning shard over ICI — XLA's
+    latency-hiding scheduler overlaps the scatter with the remaining
+    per-band backward work.
+
+    Returns render_fn(inputs, cam_stack, bg) -> (images [B,3,H,W],
+    alphas [B,1,H,W]); inputs arrays lead with the GLOBAL splat axis
+    (sharded over "tp" by the shard_map), cam_stack/bg lead with the
+    dp-sharded camera batch. N must divide by mesh n_tp."""
+    n_tp = mesh.shape["tp"]
+    assert height % n_tp == 0, (height, n_tp)
+    band_h = height // n_tp
+    assert band_h % 16 == 0, (band_h, "bands must be tile-aligned")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("tp"), P("dp"), P("dp")),
+        out_specs=(P("dp", None, "tp", None), P("dp", None, "tp", None)),
+        check_vma=False,
+    )
+    def render_fn(inputs, cam_stack, bg):
+        band = jax.lax.axis_index("tp") * band_h
+        b_local = cam_stack["view"].shape[0]
+        images, alphas = [], []
+        for i in range(b_local):
+            cam = jax.tree.map(lambda x, i=i: x[i], cam_stack)
+            splats = project_gaussians(
+                inputs["means3d"], inputs["scales"], inputs["quats"],
+                inputs["opacities"], inputs["shs"],
+                cam["view"], cam["proj"], cam["campos"],
+                cam["tanfovx"], cam["tanfovy"], width, height,
+                sh_degree=sh_degree,
+                valid_mask=inputs.get("valid_mask"),
+            )
+            if inputs.get("means2d_probe") is not None:
+                splats = splats._replace(
+                    means2d=splats.means2d + inputs["means2d_probe"])
+            splats = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "tp", axis=0, tiled=True),
+                splats,
+            )
+            out = render_from_splats(
+                splats, width, band_h, bg[i], capacity=capacity,
+                chunk=chunk, pixel_offset_y=band, interpret=interpret,
+            )
+            images.append(out["image"])
+            alphas.append(out["alpha"][None])
+        return jnp.stack(images), jnp.stack(alphas)
+
+    return render_fn
+
+
 def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
                             sh_degree: int, capacity: int, n_rungs: int = 1,
                             guidance_scale: float = 7.5, chunk: int = 256,
+                            shard_splats: bool = False,
                             interpret: bool = False):
     """Full multi-chip FPS training step: sharded render -> dp-sharded
     guidance ladder -> psum'd parameter grads -> masked Adam. The returned
-    function is jittable over the mesh."""
+    function is jittable over the mesh.
+
+    shard_splats=True selects the primitive-sharded render (params,
+    gradients, and Adam state split 1/n_tp per device — the
+    ZeRO-style memory scaling needed for the 1M-splat outdoor configs);
+    False replicates splats and shards only tiles+cameras."""
     from dreamscene_tpu.guidance import mtsd
 
     mods = guidance.mods
-    render_fn = make_sharded_render(mesh, width, height, sh_degree, capacity,
-                                    chunk, interpret)
+    factory = (make_primitive_sharded_render if shard_splats
+               else make_sharded_render)
+    render_fn = factory(mesh, width, height, sh_degree, capacity,
+                        chunk, interpret)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -225,8 +225,8 @@ class ObjectTrainer:
         return (0.0, 0.0, 0.0)
 
     def _fps_step_fn(self, n_rungs: int, capacity: int, c_batch: int,
-                     active_deg: int):
-        key = ("fps", n_rungs, capacity, c_batch, active_deg)
+                     active_deg: int, use_cn: bool = False):
+        key = ("fps", n_rungs, capacity, c_batch, active_deg, use_cn)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -313,9 +313,17 @@ class ObjectTrainer:
                     as_latent, jnp.repeat(depths_f, 3, axis=1), images_f
                 )
                 latents = mtsd.encode_images(mods, enc_in, vae_key)
+                # depth-ControlNet hint: the rendered disparity maps
+                # (reference gate: object_trainer.py:343-348; unlike the
+                # reference, the residuals actually reach the UNet here)
+                hint = None
+                if use_cn:
+                    hint = jax.lax.stop_gradient(jnp.repeat(
+                        jnp.transpose(depths_f, (0, 2, 3, 1)), 3, axis=-1
+                    ))
                 scores = mtsd.ladder_scores(
                     mods, jax.lax.stop_gradient(latents), noise, ladder_ts,
-                    text_emb, n_rungs=n_rungs,
+                    text_emb, n_rungs=n_rungs, cond_image=hint,
                 )
                 grad = mtsd.csd_grad(mods, scores, guidance_scale,
                                      lambda_guidance)
@@ -417,7 +425,8 @@ class ObjectTrainer:
         }
 
         step_fn = self._fps_step_fn(
-            len(ladder), 4 * st.capacity, c_batch, st.active_sh_degree
+            len(ladder), 4 * st.capacity, c_batch, st.active_sh_degree,
+            use_cn=self.guidance.use_controlnet(self.step, optim),
         )
         params, opt, aux, loss = step_fn(
             st.params, st.opt, st.aux, self._cam_stack(cameras),
@@ -499,28 +508,15 @@ class ObjectTrainer:
     def gaussian_filtering(self, prune_percent):
         """Importance scoring over 48 sphere cameras + percentile prune
         (reference: scene_gaussian.py:1046-1103)."""
-        v_pow = self._mode_arg("v_pow", 0.1)
-        prune_decay = self._mode_arg("prune_decay", 0.8)
-        st = self.state
-        cams = S.load_sphere_cam(self.rng, self.pose_args, size=48)
-        from dreamscene_tpu.rendering import score_render
+        from dreamscene_tpu.training.filtering import importance_filter
 
-        imp = jnp.zeros((st.capacity,), jnp.float32)
-        for cam in cams:
-            out = score_render(
-                st, cam, bg_color=self._bg_color(), interpret=self.interpret,
-            )
-            imp = imp + out["important_score"]
-        volume = jnp.prod(st.get_scaling, axis=1) * st.aux.active
-        n_act = num_active(st)
-        sorted_volume = jnp.sort(volume)[::-1]
-        kth = sorted_volume[jnp.minimum(int(0.9 * n_act), st.capacity - 1)]
-        v_list = jnp.power(volume / jnp.maximum(kth, 1e-12), v_pow) * imp
-        n0 = num_active(st)
-        self.state = D.prune_by_importance(
-            st, prune_decay * prune_percent, v_list
+        self.state = importance_filter(
+            self.state, self.rng, self.pose_args,
+            bg_color=self._bg_color(), prune_percent=prune_percent,
+            v_pow=self._mode_arg("v_pow", 0.1),
+            prune_decay=self._mode_arg("prune_decay", 0.8),
+            interpret=self.interpret,
         )
-        logger.debug("gaussian_filtering: %d -> %d", n0, num_active(self.state))
 
     # ------------------------------------------------------------------
     def refine_phase(self):

@@ -157,6 +157,36 @@ class SceneTrainer:
         return trainer.state
 
     # ------------------------------------------------------------------
+    def compress_objects(self, composition):
+        """Importance-filter each trained object PLY before placement
+        (reference scene_gaussian.py:222-238 compress_objects — defined
+        there but never invoked; functional here). Writes the filtered
+        splats to `<id>_final_model_compressed.ply` rather than
+        overwriting (the reference's in-place save would re-prune ~40%
+        of the points on every resume), and skips objects already
+        compressed — idempotent restarts."""
+        from dreamscene_tpu.training.filtering import importance_filter
+
+        prune_percent = float(
+            self.scene_cfg.get("compress_prune_percent", 0.5))
+        for obj in composition:
+            ply = self.ckpt_path / f"{obj['id']}_final_model.ply"
+            cply = (self.ckpt_path /
+                    f"{obj['id']}_final_model_compressed.ply")
+            if cply.exists() or not ply.exists():
+                continue
+            st = load_splat_ply(str(ply), sh_degree=None)
+            n0 = num_active(st)
+            st = importance_filter(
+                st, self.rng, self.pose_args, bg_color=self.bg_color,
+                prune_percent=prune_percent,
+                n_views=int(self.scene_cfg.get("compress_n_views", 48)),
+                interpret=self.interpret,
+            )
+            save_splat_ply(str(cply), st)
+            logger.info("compress_objects: %s %d -> %d points",
+                        obj["id"], n0, num_active(st))
+
     def prepare_train_scene(self):
         """Assemble the scene: place objects, build env/floor, embeddings
         (reference: scene_trainer.py:103-189 + scene_gaussian
@@ -168,9 +198,15 @@ class SceneTrainer:
         scene_box = np.zeros(6, np.float32)
         self.scene = SceneModel(scene_box=scene_box)
         composition = sc.get("scene_composition") or []
+        compress = sc.get("compress_objects", True)
+        if compress:
+            self.compress_objects(composition)
         count = 0
         for obj in composition:
             ply = self.ckpt_path / f"{obj['id']}_final_model.ply"
+            cply = self.ckpt_path / f"{obj['id']}_final_model_compressed.ply"
+            if compress and cply.exists():
+                ply = cply
             base = load_splat_ply(str(ply), sh_degree=None)
             for tp in obj["params"]:
                 placed, args, bbox = place_object(
@@ -300,11 +336,11 @@ class SceneTrainer:
         )
 
     def _scene_step_fn(self, n_rungs, n_models, capacities, degrees,
-                       trainable, guidance_on, c_batch):
+                       trainable, guidance_on, c_batch, use_cn=False):
         """Build the jitted multi-model step. trainable: tuple of bools per
         model (objects..., floor, env); guidance_on False -> recon L2."""
         key = ("scene", n_rungs, n_models, capacities, degrees, trainable,
-               guidance_on, c_batch)
+               guidance_on, c_batch, use_cn)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -399,9 +435,17 @@ class SceneTrainer:
                         as_latent, jnp.repeat(depths_f, 3, axis=1), images_f
                     )
                     latents = mtsd.encode_images(mods, enc_in, vae_key)
+                    # depth-ControlNet hint (reference gate:
+                    # scene_trainer.py:835-840)
+                    hint = None
+                    if use_cn:
+                        hint = jax.lax.stop_gradient(jnp.repeat(
+                            jnp.transpose(depths_f, (0, 2, 3, 1)), 3, -1
+                        ))
                     scores = mtsd.ladder_scores(
                         mods, jax.lax.stop_gradient(latents), noise,
                         ladder_ts, text_emb, n_rungs=n_rungs,
+                        cond_image=hint,
                     )
                     grad = mtsd.csd_grad(mods, scores, guidance_scale,
                                          lambda_guidance)
@@ -516,6 +560,8 @@ class SceneTrainer:
         step_fn = self._scene_step_fn(
             len(ladder), n_models, capacities, degrees, trainable,
             guidance_on, c_batch,
+            use_cn=(guidance_on and self.guidance.use_controlnet(
+                self.step, self.cfg.sceneOptimizationParams)),
         )
         params_list = tuple(s.params for s in states)
         opt_list = tuple(s.opt for s in states)

@@ -130,6 +130,12 @@ class GuidanceParams:
     is_safe_tensor: bool = False
     base_model_key: Optional[str] = None
     controlnet_model_key: Optional[str] = None
+    # probability the depth ControlNet conditions a step once
+    # use_control_net_iter has passed. The reference trainers read this
+    # field (object_trainer.py:347) but never declare it in config.py —
+    # and the loaded controlnet is never invoked (multitime_sd_utils.py:
+    # 88-91 is its only reference); here the hook is functional.
+    controlnet_ratio: float = 0.5
     perpneg: bool = True
     negative_w: float = -2.0
     front_decay_factor: float = 2.0

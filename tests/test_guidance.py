@@ -152,3 +152,86 @@ class TestDenoiseLadder:
         assert np.isfinite(np.asarray(final_lat)).all()
         # the walk started from the t=600 noised latent, not the clean one
         assert not np.allclose(np.asarray(final_lat), np.asarray(lat))
+
+
+class TestControlNet:
+    def test_zero_init_controlnet_is_noop_and_loader_path_runs(self):
+        """Fresh (zero-conv) ControlNet residuals must leave the UNet
+        output bit-identical — and the conditioned call path must run."""
+        import jax
+        import jax.numpy as jnp
+
+        from dreamscene_tpu.guidance import mtsd
+        from dreamscene_tpu.utils.config import GuidanceParams
+
+        g = mtsd.make_tiny_guidance(GuidanceParams(), with_controlnet=True)
+        mods = g.mods
+        lat = jnp.ones((2, 8, 8, 4)) * 0.3
+        t = jnp.asarray([7, 7], jnp.int32)
+        ctx = jnp.ones((2, 4, 32)) * 0.1
+        cond = jnp.ones((2, 16, 16, 3)) * 0.5
+
+        eps_plain = mods.unet_apply(mods.unet_params, lat, t, ctx)
+        res = mods.controlnet_apply(mods.controlnet_params, lat, t, ctx, cond)
+        eps_ctrl = mods.unet_apply(mods.unet_params, lat, t, ctx,
+                                   control_res=res)
+        np.testing.assert_array_equal(np.asarray(eps_plain),
+                                      np.asarray(eps_ctrl))
+
+        # non-zero residuals DO change the output (the hook is live)
+        down, mid = res
+        down = tuple(d + 0.1 for d in down)
+        eps2 = mods.unet_apply(mods.unet_params, lat, t, ctx,
+                               control_res=(down, mid + 0.1))
+        assert not np.allclose(np.asarray(eps_plain), np.asarray(eps2))
+
+    def test_ladder_scores_with_cond_image(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dreamscene_tpu.guidance import mtsd
+        from dreamscene_tpu.utils.config import GuidanceParams
+
+        g = mtsd.make_tiny_guidance(GuidanceParams(), with_controlnet=True)
+        lat = jnp.zeros((1, 8, 8, 4))
+        noise = mtsd.make_ladder_noise(jax.random.key(0), lat.shape)
+        text = g.get_text_embeds(["a", "n", "i"])
+        ts = jnp.asarray([300], jnp.int32)
+        cond = jnp.ones((1, 16, 16, 3)) * 0.5
+        scores = mtsd.ladder_scores(g.mods, lat, noise, ts, text, n_rungs=1,
+                                    cond_image=cond)
+        assert len(scores) == 2
+        for _, (c, u, b), _lat in scores:
+            assert np.isfinite(np.asarray(c)).all()
+
+    def test_use_controlnet_gate(self):
+        from dreamscene_tpu.guidance import mtsd
+        from dreamscene_tpu.utils.config import (
+            GuidanceParams, OptimizationParams)
+
+        gp = GuidanceParams()
+        gp.controlnet_ratio = 1.0
+        op = OptimizationParams()
+        op.use_control_net_iter = 10
+        g = mtsd.make_tiny_guidance(gp, with_controlnet=True)
+        assert not g.use_controlnet(5, op)      # before the iter gate
+        assert g.use_controlnet(11, op)         # ratio=1.0 -> always on
+        g2 = mtsd.make_tiny_guidance(gp)        # no controlnet loaded
+        assert not g2.use_controlnet(11, op)
+
+
+class TestValidationHarness:
+    def test_tiny_smoke_writes_artifacts(self, tmp_path):
+        from dreamscene_tpu.guidance import mtsd
+        from dreamscene_tpu.guidance.validate import run_validation
+        from dreamscene_tpu.utils.config import GuidanceParams
+
+        g = mtsd.make_tiny_guidance(GuidanceParams(), downscale=8)
+        report = run_validation(g, str(tmp_path), size=64, check_bf16=True)
+        assert (tmp_path / "decode_probe.jpg").exists()
+        assert (tmp_path / "roundtrip.jpg").exists()
+        assert (tmp_path / "ladder_grid.jpg").exists()
+        assert (tmp_path / "report.json").exists()
+        assert report["decode_finite"]
+        assert report["csd_grad_nan"] == 0
+        assert np.isfinite(report["roundtrip_psnr_db"])

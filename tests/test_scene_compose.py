@@ -139,3 +139,37 @@ class TestCombine:
         sm = SceneModel()
         sm.grow_box(np.array([-1, -1, 0, 2, 2, 1], np.float32))
         np.testing.assert_allclose(sm.scene_box, [-1, -1, 0, 2, 2, 1])
+
+
+class TestCompressObjects:
+    def test_compress_reduces_points_and_preserves_render(self, tmp_path):
+        """compress_objects (reference scene_gaussian.py:222-238) must
+        drop low-importance points while leaving the object's render
+        close to the original."""
+        import math
+
+        from dreamscene_tpu.rendering import object_render
+        from dreamscene_tpu.training.filtering import importance_filter
+        from dreamscene_tpu.utils.config import GenerateCamParams
+
+        rng = np.random.default_rng(0)
+        # a compact blob: half the points tiny+transparent (low importance)
+        n = 120
+        st = make_obj(n=n, seed=1)
+        op = np.array(st.params.opacity)
+        op[n // 2:] = -6.0           # sigmoid ~ 0.0025 -> negligible
+        st = st.replace(params=st.params.replace(opacity=jnp.asarray(op)))
+
+        pose_args = GenerateCamParams()
+        pose_args.image_w = 32
+        pose_args.image_h = 32
+        n0 = num_active(st)
+        st2 = importance_filter(st, rng, pose_args, prune_percent=0.5,
+                                n_views=8, interpret=True)
+        n1 = num_active(st2)
+        assert n1 < n0
+
+        cam = make_camera(32, 32)
+        img_a = object_render(st, cam, test=True, interpret=True)["image"]
+        img_b = object_render(st2, cam, test=True, interpret=True)["image"]
+        assert float(jnp.mean(jnp.abs(img_a - img_b))) < 0.02

@@ -215,3 +215,54 @@ class TestVAEMapping:
         assert got == ref
         out = dec.apply(mapped, jnp.ones((1, 8, 8, 4)))
         assert out.shape == (1, 16, 16, 3)
+
+
+def controlnet_flax_path_to_torch(path):
+    mod = path[0]
+    m = re.match(r"cond_block_(\d+)$", mod)
+    if m:
+        return f"controlnet_cond_embedding.blocks.{m[1]}"
+    if mod == "cond_in":
+        return "controlnet_cond_embedding.conv_in"
+    if mod == "cond_out":
+        return "controlnet_cond_embedding.conv_out"
+    m = re.match(r"ctrl_down_(\d+)$", mod)
+    if m:
+        return f"controlnet_down_blocks.{m[1]}"
+    if mod == "ctrl_mid":
+        return "controlnet_mid_block"
+    return unet_flax_path_to_torch(path)
+
+
+class TestControlNetMapping:
+    def test_roundtrip_structure_and_values(self):
+        from dreamscene_tpu.guidance.sd_flax import FlaxControlNet
+
+        cn = FlaxControlNet(UCFG)  # downscale=8 like real SD
+        params = cn.init(
+            jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 16)),
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        sd = make_torch_sd(params, controlnet_flax_path_to_torch)
+        mapped = L.map_controlnet_state(sd, UCFG)
+
+        ref_paths = {
+            tuple(p.key for p in k): v.shape
+            for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        got_paths = {
+            tuple(p.key for p in k): v.shape
+            for k, v in jax.tree_util.tree_flatten_with_path(mapped)[0]
+        }
+        assert got_paths == ref_paths
+        for (kp, v), (kp2, v2) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(mapped)[0],
+        ):
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+        down, mid = cn.apply(mapped, jnp.ones((1, 8, 8, 4)),
+                             jnp.asarray([5], jnp.int32), jnp.ones((1, 3, 16)),
+                             jnp.ones((1, 64, 64, 3)))
+        # one residual per UNet skip: 1 (conv_in) + sum(layers [+downsample])
+        assert len(down) == 4 and mid.shape[-1] == UCFG.block_out_channels[-1]

@@ -102,6 +102,7 @@ def tiny_scene_cfg(tmp_path):
         ],
         "scene": {
             "scene_name": "room",
+            "compress_n_views": 4,
             "sh_degree": 1,
             "cam_pose_method": "indoor",
             "scene_text": "a room",
