@@ -373,12 +373,61 @@ def build_sd_guidance(model_dir: str, guidance_opt, height: int = 512,
         controlnet_params=cn_params,
     )
 
-    text_encode = make_clip_text_encoder(model_dir)
+    text_encode = make_clip_text_encoder(
+        model_dir,
+        textual_inversion_path=getattr(
+            guidance_opt, "textual_inversion_path", None),
+    )
     return mtsd.MTSD(mods=mods, text_encode=text_encode,
                      guidance_opt=guidance_opt)
 
 
-def make_clip_text_encoder(model_dir: str):
+def load_textual_inversion(tok, model, path: str) -> None:
+    """Load learned-embedding tokens into the tokenizer + Flax CLIP
+    encoder (reference: pipe.load_textual_inversion,
+    guidance/multitime_sd_utils.py:104-106). Accepts the diffusers
+    learned_embeds.bin / .safetensors format ({token: [n, D]} or the
+    {"string_to_param": {"*": [n, D]}} A1111 variant); multi-vector
+    tokens expand to `tok`, `tok_1`, ... like diffusers."""
+    import jax.numpy as _jnp
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in torch.load(path, map_location="cpu",
+                                     weights_only=False).items()}
+    if "string_to_param" in sd:
+        sd = {"*": np.asarray(list(sd["string_to_param"].values())[0])}
+
+    emb_path = ("text_model", "embeddings", "token_embedding", "embedding")
+    params = model.params
+    node = params
+    for k in emb_path[:-1]:
+        node = node[k]
+    table = np.asarray(node[emb_path[-1]])
+
+    rows = [table]
+    for token, vec in sd.items():
+        vec = np.asarray(vec, np.float32)
+        if vec.ndim == 1:
+            vec = vec[None]
+        names = [token] + [f"{token}_{i}" for i in range(1, vec.shape[0])]
+        added = tok.add_tokens(names)
+        assert added == len(names), (token, added)
+        rows.append(vec)
+        logger.info("textual inversion: +%d vectors for %r",
+                    vec.shape[0], token)
+    node[emb_path[-1]] = _jnp.asarray(np.concatenate(rows, axis=0))
+    model.params = params
+
+
+def make_clip_text_encoder(model_dir: str,
+                           textual_inversion_path: str | None = None):
     """CLIP text encoder via transformers Flax (from_pt), with tokenizer.
     Returns encode(list[str]) -> [B, 77, D]."""
     from transformers import CLIPTokenizer, FlaxCLIPTextModel
@@ -387,6 +436,8 @@ def make_clip_text_encoder(model_dir: str):
     model = FlaxCLIPTextModel.from_pretrained(
         os.path.join(model_dir, "text_encoder"), from_pt=True
     )
+    if textual_inversion_path:
+        load_textual_inversion(tok, model, textual_inversion_path)
 
     def encode(prompts):
         inputs = tok(prompts, padding="max_length",

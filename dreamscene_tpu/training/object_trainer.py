@@ -727,3 +727,16 @@ class ObjectTrainer:
         if make_videos:
             self.video_inference("final")
         self.save_model("final")
+        if self._mode_arg("export_mesh", False):
+            # beyond the reference (it stops at the occupancy grid,
+            # gs_renderer.py:491-573): textured mesh out of the trained
+            # splats via marching tetrahedra
+            from dreamscene_tpu.models.mesh import export_mesh
+
+            path = str(self.ckpt_path / f"{self.id}_mesh.ply")
+            info = export_mesh(
+                self.state, path,
+                resolution=int(self._mode_arg("mesh_resolution", 128)),
+                thresh=float(self._mode_arg("mesh_thresh", 1.0)),
+            )
+            logger.info("mesh export %s: %s", path, info)

@@ -136,6 +136,12 @@ class GuidanceParams:
     # and the loaded controlnet is never invoked (multitime_sd_utils.py:
     # 88-91 is its only reference); here the hook is functional.
     controlnet_ratio: float = 0.5
+    # Perp-Neg surface: VERIFIED DEAD in the reference — config.py:133-136
+    # declares these and scene_trainer.py:41-48 builds perp_neg_f_*
+    # weight tables, but nothing in the MTSD guidance path ever reads
+    # either (grep: no other occurrence of perpneg/negative_w/
+    # front_decay_factor/side_decay_factor/perp_neg_f). Kept only so
+    # reference YAMLs parse; the values have no effect, as upstream.
     perpneg: bool = True
     negative_w: float = -2.0
     front_decay_factor: float = 2.0

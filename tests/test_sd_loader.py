@@ -266,3 +266,39 @@ class TestControlNetMapping:
                              jnp.ones((1, 64, 64, 3)))
         # one residual per UNet skip: 1 (conv_in) + sum(layers [+downsample])
         assert len(down) == 4 and mid.shape[-1] == UCFG.block_out_channels[-1]
+
+
+class TestTextualInversion:
+    def test_learned_embeds_extend_embedding_table(self, tmp_path):
+        """Diffusers learned_embeds format must append token vectors to
+        the CLIP embedding table and register the tokens (reference:
+        pipe.load_textual_inversion, multitime_sd_utils.py:104-106)."""
+        import torch
+
+        d = 16
+        path = tmp_path / "learned_embeds.bin"
+        torch.save({"<thing>": torch.randn(d),
+                    "<style>": torch.randn(2, d)}, str(path))
+
+        class FakeTok:
+            def __init__(self):
+                self.added = []
+
+            def add_tokens(self, names):
+                self.added += names
+                return len(names)
+
+        class FakeModel:
+            def __init__(self, vocab, d):
+                self.params = {"text_model": {"embeddings": {
+                    "token_embedding": {
+                        "embedding": np.zeros((vocab, d), np.float32)}}}}
+
+        tok, model = FakeTok(), FakeModel(100, d)
+        L.load_textual_inversion(tok, model, str(path))
+        table = np.asarray(
+            model.params["text_model"]["embeddings"]["token_embedding"]
+            ["embedding"])
+        assert table.shape == (103, d)          # 1 + 2 new vectors
+        assert tok.added == ["<thing>", "<style>", "<style>_1"]
+        assert np.abs(table[100:]).sum() > 0    # real values appended
