@@ -128,9 +128,24 @@ def bin_splats(
     )
     dkey = depth_bits | (jnp.uint32(1) << 31) * (count0 == 0).astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, perm, basenx, count = jax.lax.sort(
-        (dkey, idx, basenx0, count0), num_keys=1
-    )
+    # pack (basenx, count) into ONE u32 payload when the bit budget
+    # allows (512^2: 18+11 bits) — a 3-operand 300K sort runs ~0.5 ms
+    # faster than 4-operand on v5e
+    max_count_bits = (tiles_x * tiles_y).bit_length()   # count <= n_tiles
+    base_bits = ((n_tiles - 1) * 256 + 255).bit_length()
+    if base_bits + max_count_bits <= 31:
+        packed0 = jax.lax.bitcast_convert_type(
+            basenx0 << max_count_bits, jnp.uint32
+        ) | count0.astype(jnp.uint32)
+        _, perm, packed = jax.lax.sort((dkey, idx, packed0), num_keys=1)
+        basenx = jax.lax.bitcast_convert_type(
+            packed >> max_count_bits, jnp.int32)
+        count = jax.lax.bitcast_convert_type(
+            packed & jnp.uint32((1 << max_count_bits) - 1), jnp.int32)
+    else:
+        _, perm, basenx, count = jax.lax.sort(
+            (dkey, idx, basenx0, count0), num_keys=1
+        )
     # invert the permutation with a second small sort (2-op sorts run at
     # ~0.4ms/300K on v5e; an equivalent int scatter measured 1.75ms)
     _, inv_perm = jax.lax.sort((perm, idx), num_keys=1)

@@ -281,6 +281,7 @@ def render_from_splats(
         "radii": splats.radii,
         "visibility_filter": splats.visible,
         "n_dropped": binned.n_dropped,
+        "n_entries": binned.n_entries,
     }
 
 

@@ -195,6 +195,9 @@ class ObjectTrainer:
         self.rec_count = 0
         self.guidance = guidance
         self._jit_cache = {}
+        from dreamscene_tpu.training.capacity import CapacityController
+
+        self.cap_ctrl = CapacityController()
 
         if state is not None:
             self.state = state
@@ -301,6 +304,8 @@ class ObjectTrainer:
                         aux_out["scales_mean"] = jnp.sum(
                             scales * active[:, None]
                         ) / (jnp.sum(active) * 3.0)
+                        aux_out["n_entries"] = out["n_entries"]
+                        aux_out["n_dropped"] = out["n_dropped"]
 
                 images = jnp.stack(images)            # [B,3,H,W]
                 depths = jnp.stack(depths)            # [B,1,H,W]
@@ -348,7 +353,8 @@ class ObjectTrainer:
             new_aux = D.add_densification_stats(
                 new_aux, probe_grads[c_batch - 1], aux_out["visible"]
             )
-            return new_params, new_opt, new_aux, loss
+            return (new_params, new_opt, new_aux, loss,
+                    aux_out["n_entries"], aux_out["n_dropped"])
 
         self._jit_cache[key] = step
         return step
@@ -425,10 +431,11 @@ class ObjectTrainer:
         }
 
         step_fn = self._fps_step_fn(
-            len(ladder), 4 * st.capacity, c_batch, st.active_sh_degree,
+            len(ladder), self.cap_ctrl.capacity(st.capacity), c_batch,
+            st.active_sh_degree,
             use_cn=self.guidance.use_controlnet(self.step, optim),
         )
-        params, opt, aux, loss = step_fn(
+        params, opt, aux, loss, n_entries, n_dropped = step_fn(
             st.params, st.opt, st.aux, self._cam_stack(cameras),
             self._aug_array(c_batch), text_emb,
             jnp.asarray(ladder, jnp.int32), noise, self.guidance.next_vae_key(),
@@ -436,6 +443,10 @@ class ObjectTrainer:
             jnp.asarray(as_latent), lrs,
         )
         self.state = dataclasses.replace(st, params=params, opt=opt, aux=aux)
+        if self.cap_ctrl.update(st.capacity, int(n_entries), int(n_dropped)):
+            logger.info("entry capacity multiplier -> %dx (entries %d, "
+                        "dropped %d)", self.cap_ctrl.mult, int(n_entries),
+                        int(n_dropped))
 
         # ---- densify / prune cadence (object_trainer.py:385-459) --------
         if self.step < optim.densify_until_iter:
@@ -587,8 +598,9 @@ class ObjectTrainer:
             for i in range(rec_batch):
                 self.rec_count += 1
                 st = self.state
-                recon_fn = self._recon_step_fn(4 * st.capacity,
-                                               st.active_sh_degree)
+                recon_fn = self._recon_step_fn(
+                    self.cap_ctrl.capacity(st.capacity),
+                    st.active_sh_degree)
                 params, opt, aux, loss = recon_fn(
                     st.params, st.opt, st.aux,
                     self._cam_stack([cams[i]]),

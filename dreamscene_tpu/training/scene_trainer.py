@@ -130,6 +130,10 @@ class SceneTrainer:
         self.current_prev_n = 0
         self._jit_cache = {}
         self.bg_color = (0.0, 0.0, 0.0)
+        from dreamscene_tpu.training.capacity import CapacityController
+
+        # scene renders start at 2x total splat capacity (mult 4 // 2)
+        self.cap_ctrl = CapacityController(mult=4, min_mult=2, max_mult=16)
 
         sc = cfg.scene_configs or {}
         self.scene_objects = sc.get("objects") or []
@@ -336,11 +340,12 @@ class SceneTrainer:
         )
 
     def _scene_step_fn(self, n_rungs, n_models, capacities, degrees,
-                       trainable, guidance_on, c_batch, use_cn=False):
+                       trainable, guidance_on, c_batch, use_cn=False,
+                       cap_mult=4):
         """Build the jitted multi-model step. trainable: tuple of bools per
         model (objects..., floor, env); guidance_on False -> recon L2."""
         key = ("scene", n_rungs, n_models, capacities, degrees, trainable,
-               guidance_on, c_batch, use_cn)
+               guidance_on, c_batch, use_cn, cap_mult)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -353,7 +358,7 @@ class SceneTrainer:
         lambda_guidance = self.guidance_opt.lambda_guidance
         interpret = self.interpret
         total_c = sum(capacities)
-        raster_capacity = 2 * total_c
+        raster_capacity = cap_mult * total_c // 2
         sh_degree = min(degrees)
 
         from dreamscene_tpu.ops.losses import tv_loss
@@ -422,6 +427,8 @@ class SceneTrainer:
                     if i == c_batch - 1:
                         aux_out["radii"] = out["radii"]
                         aux_out["visible"] = out["visibility_filter"]
+                        aux_out["n_entries"] = out["n_entries"]
+                        aux_out["n_dropped"] = out["n_dropped"]
 
                 images = jnp.stack(images)
                 depths = jnp.stack(depths)
@@ -490,7 +497,8 @@ class SceneTrainer:
                 new_opts.append(no_)
                 new_auxes.append(na_)
                 offset += cap
-            return tuple(new_params), tuple(new_opts), tuple(new_auxes), loss
+            return (tuple(new_params), tuple(new_opts), tuple(new_auxes),
+                    loss, aux_out["n_entries"], aux_out["n_dropped"])
 
         self._jit_cache[key] = step
         return step
@@ -562,13 +570,15 @@ class SceneTrainer:
             guidance_on, c_batch,
             use_cn=(guidance_on and self.guidance.use_controlnet(
                 self.step, self.cfg.sceneOptimizationParams)),
+            cap_mult=self.cap_ctrl.mult,
         )
         params_list = tuple(s.params for s in states)
         opt_list = tuple(s.opt for s in states)
         aux_list = tuple(s.aux for s in states)
         gt = (jnp.zeros((c_batch, 3, h, w)) if gt_images is None
               else jnp.stack(gt_images))
-        new_params, new_opts, new_auxes, loss = step_fn(
+        (new_params, new_opts, new_auxes, loss,
+         n_entries, n_dropped) = step_fn(
             params_list, opt_list, aux_list, self._cam_stack(cameras),
             jnp.asarray(bg_rows, jnp.float32), text_emb,
             jnp.asarray(ladder, jnp.int32), noise,
@@ -576,6 +586,10 @@ class SceneTrainer:
             jnp.asarray(self.guidance.should_flip() if guidance_on else False),
             jnp.asarray(as_latent), lrs_list, gt,
         )
+        if self.cap_ctrl.update(sum(capacities) // 2, int(n_entries),
+                                int(n_dropped)):
+            logger.info("scene entry capacity multiplier -> %dx/2",
+                        self.cap_ctrl.mult)
 
         # write back
         for i, n in enumerate(names):
