@@ -80,7 +80,7 @@ def get_rays(focal: float, c2w: np.ndarray, H: int = 64, W: int = 64) -> np.ndar
         ],
         axis=-1,
     ).astype(np.float32)
-    dirs = dirs_cam @ c2w[:3, :3].T
+    dirs = dirs_cam @ c2w[:3, :3].T     # numpy, host-side: exact f32
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     origins = np.broadcast_to(c2w[:3, 3], dirs.shape)
     return np.concatenate([origins, dirs], axis=-1).astype(np.float32)

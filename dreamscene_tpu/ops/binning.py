@@ -71,9 +71,18 @@ ALIGN = 128   # DMA lane alignment of chunk starts
 
 
 def max_chunks(capacity: int, n_tiles: int, chunk: int) -> int:
-    """Static chunk-count bound: every tile can gain a partial chunk at
-    each end (aligned start overlap + ragged tail)."""
-    return cdiv(capacity, chunk) + 2 * n_tiles
+    """Static chunk-count bound. Tile t occupies cdiv(off_t + c_t, chunk)
+    chunks with off_t in [0, ALIGN); summing the bound
+    (off_t + c_t + chunk - 1) / chunk over tiles gives
+    capacity/chunk + n_tiles*(ALIGN - 1 + chunk - 1)/chunk (+1 for the
+    outer cdiv) — at chunk=2*ALIGN that is ~1.5 chunks/tile of slack
+    instead of the naive 2 (the grad table, both composite kernel loops
+    and the backward grad gather all scale with this bound)."""
+    return (
+        cdiv(capacity, chunk)
+        + cdiv(n_tiles * (ALIGN - 1 + chunk - 1), chunk)
+        + 1
+    )
 
 
 def bin_splats(

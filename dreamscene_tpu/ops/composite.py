@@ -11,10 +11,10 @@ re-design — no atomics, no per-pixel sequential loops:
     the earlier per-chunk Pallas grid (+ a materialized chunk-padded
     record table): grid-step overhead (~0.7us x 10K chunks) and ~25ms of
     XLA gather/select plumbing both disappear.
-  * Records are FIELD-MAJOR [16, capacity] and chunk offsets are
+  * Records are FIELD-MAJOR [REC_WIDTH, capacity] and chunk offsets are
     128-aligned by construction (binning rounds each tile's run start
     down to a lane boundary and masks the leading overlap via a per-chunk
-    live window [lo, hi)), so every DMA slice is [16, CHUNK] — exactly
+    live window [lo, hi)), so every DMA slice is [REC_WIDTH, CHUNK] — exactly
     lane/sublane aligned for the (8,128) tiling.
   * The chunk math is laid out pixels-on-sublanes x entries-on-lanes:
     per-field record rows broadcast as [1, CHUNK] lane vectors, pixel
@@ -34,7 +34,7 @@ The backward kernel replays tiles front-to-back, using the closed form
   dC/da_i = T_i c_i - S_i/(1-a_i),   S_i = suffix color after i,
 with the suffix obtained from the stored final accumulators minus a running
 prefix — no back-to-front pass needed. Per-entry gradients stream out as
-lane-aligned [16, CHUNK] blocks of a chunk-aligned grad table (consecutive
+lane-aligned [REC_WIDTH, CHUNK] blocks of a chunk-aligned grad table (consecutive
 output DMAs never overlap); the rasterizer's gather VJP reduces them back
 to per-splat parameters (ops/rasterizer.gather_composite).
 
@@ -54,12 +54,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dreamscene_tpu.ops.binning import TILE, TILE_PIX
 
+# Kernel matmuls NEVER run at the TPU default single-pass bf16: it
+# rounds operands to 8 mantissa bits, putting ~4e-3 relative error into
+# the exclusive-transmittance prefix and the color accumulation —
+# visible against the 1e-4 CUDA-parity budget. Every in-kernel dot is an
+# EXPLICIT bf16 hi/lo split (_split_dot/_split_dot2): HIGH-class
+# accuracy built from plain single-pass MXU ops, which (unlike
+# `precision=` kwargs — Mosaic lowers only DEFAULT/HIGHEST, and its fp32
+# contract rounds differently from XLA's) execute identically in the
+# compiled kernel and the interpret path, keeping compiled-vs-interpret
+# parity checkable at tight tolerance (scripts/tpu_parity.py).
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
 
 # record field indices (see rasterizer.render)
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA, F_R, F_G, F_B, F_DEPTH = range(10)
+# 10 live fields, padded to 16 rows for kernel DMA: Mosaic cannot slice
+# non-8-aligned sublane windows (a [10, chunk] memref_slice fails to
+# lower), so kernel-facing tables stay 16-wide; the VJP's expensive
+# gather/cumsum chain slices down to N_LIVE_FIELDS columns first
+# (ops/rasterizer._gather_composite_bwd) — those are bandwidth-bound and
+# dead columns there cost real milliseconds at 300K/512^2.
+N_LIVE_FIELDS = 10
 REC_WIDTH = 16
 # accumulator rows in the [8, 256] tile state
 A_R, A_G, A_B, A_DEPTH, A_T = range(5)
@@ -102,11 +119,77 @@ def _col(row_vec):
     return jnp.transpose(row_vec, (1, 0))
 
 
+def _bf16_split(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x to 16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dot(a, b, dims=(((1,), (0,)), ((), ()))):
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _split_dot(x, u_exact, dims=(((1,), (0,)), ((), ()))):
+    """x @ u where u is EXACTLY bf16-representable (0/1 triangular /
+    small pixel moments): split x into hi+lo bf16 halves and take two
+    single-pass MXU products — Precision.HIGH accuracy (whose third
+    hi*lo pass vanishes for exact u) at 2 passes. These chunk x chunk
+    products dominate both kernels' FLOPs."""
+    xhi, xlo = _bf16_split(x)
+    ub = u_exact.astype(jnp.bfloat16)
+    return _dot(xhi, ub, dims) + _dot(xlo, ub, dims)
+
+
+def _split_dot2(x, y, dims=(((1,), (0,)), ((), ()))):
+    """x @ y with BOTH operands split (3 passes hi*hi + hi*lo + lo*hi =
+    Precision.HIGH accuracy, ~2^-21 per-term error). Used instead of a
+    `precision=` kwarg for ALL in-kernel dots so the compiled Mosaic
+    kernel and the interpret path (XLA ops) execute the SAME single-pass
+    bf16 MXU primitives — keeping compiled-vs-interpret parity checkable
+    at tight tolerance (Mosaic's fp32 contract and XLA's HIGHEST use
+    different pass structures and round differently)."""
+    xhi, xlo = _bf16_split(x)
+    yhi, ylo = _bf16_split(y)
+    return (_dot(xhi, yhi, dims) + _dot(xhi, ylo, dims)
+            + _dot(xlo, yhi, dims))
+
+
+MXU = 128   # systolic-array side: prefix blocks of 128 lanes
+
+
+def _blocked_prefix(z, inclusive):
+    """Entry-axis prefix sum of z [256, CHUNK] via per-128-block
+    triangular matmuls + carried block totals. The triangular product is
+    the kernels' dominant FLOP cost and scales with (block x CHUNK);
+    128-lane blocks halve the MACs of a monolithic CHUNK x CHUNK
+    triangle at CHUNK=256 while still saturating the 128x128 MXU."""
+    chunk = z.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (MXU, MXU), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (MXU, MXU), 1)
+    u = ((row <= col) if inclusive else (row < col)).astype(jnp.float32)
+    parts = []
+    carry = None
+    for b in range(chunk // MXU):
+        zb = z[:, b * MXU:(b + 1) * MXU]
+        pb = _split_dot(zb, u)
+        if carry is not None:
+            pb = pb + carry
+        # pb already includes the incoming carry, so the block's last
+        # prefix value IS the running total
+        if inclusive:
+            carry = pb[:, MXU - 1:MXU]
+        else:
+            carry = pb[:, MXU - 1:MXU] + zb[:, MXU - 1:MXU]
+        parts.append(pb)
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 def _chunk_alpha(rec, px, py, t_carry_col, lo, hi):
     """Shared forward math for one chunk, pixels-on-sublanes layout.
 
     Args:
-      rec: [16, CHUNK] field-major records; px/py: [256, 1];
+      rec: [REC_WIDTH, CHUNK] field-major records; px/py: [256, 1];
       t_carry_col: [256, 1]; lanes outside [lo, hi) are masked out
       (they belong to a neighboring tile's run).
     Returns dict of [256, CHUNK] / [256, 1] intermediates.
@@ -132,16 +215,8 @@ def _chunk_alpha(rec, px, py, t_carry_col, lo, hi):
 
     q = 1.0 - alpha                                  # in [0.01, 1]
     logq = jnp.log(q)
-    # strictly-upper-triangular ones: exclusive prefix over entries (lanes)
-    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    u_strict = (row < col).astype(jnp.float32)
-    p_excl = jnp.exp(
-        jax.lax.dot_general(
-            logq, u_strict, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    )                                                # [256, CHUNK]
+    # exclusive prefix over entries (lanes): triangular-ones MXU matmuls
+    p_excl = jnp.exp(_blocked_prefix(logq, inclusive=False))  # [256, CHUNK]
     p_incl = p_excl * q
     t_excl = t_carry_col * p_excl                    # T before entry g
     t_incl = t_carry_col * p_incl                    # T after entry g
@@ -235,9 +310,8 @@ def _fwd_kernel(
             v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u])
 
             # rgb+depth accumulation: [256, CHUNK] x [4, CHUNK]^T
-            acc_new = jax.lax.dot_general(
-                v["contrib"], _cd_rows(rec), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            acc_new = _split_dot2(
+                v["contrib"], _cd_rows(rec), (((1,), (1,)), ((), ()))
             )                                                 # [256, 4]
             acc_ref[:, A_R:A_DEPTH + 1] += acc_new
             acc_ref[:, A_T:A_T + 1] = v["t_new"]
@@ -256,7 +330,7 @@ def _fwd_kernel(
     jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")
 )
 def composite_forward(
-    records_t: jnp.ndarray,     # [16, cap_pad] float32, field-major sorted
+    records_t: jnp.ndarray,     # [REC_WIDTH, cap_pad] f32, field-major sorted
     chunk_tile: jnp.ndarray,    # [n_chunks] int32 tile of chunk (n_tiles=trash)
     chunk_s0: jnp.ndarray,      # [n_chunks] int32 128-aligned record column
     chunk_lo: jnp.ndarray,      # [n_chunks] int32 first live lane
@@ -412,31 +486,23 @@ def _bwd_kernel(
             q, t_excl = v["q"], v["t_excl"]
 
             cd = _cd_rows(rec)                                # [4, CHUNK]
-            row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-            u_incl = (row <= col).astype(jnp.float32)
 
             g_rgbd = gbuf_ref[ts, 0, A_R:A_DEPTH + 1, :]      # [4, 256]
             g_t_col = col_ref[:, 4:5]                         # [256, 1]
             t_final_col = col_ref[:, 5:6]
 
             # dL/dcolor_g (and depth): w_g . g_ch  -> [4, CHUNK]
-            gcd = jax.lax.dot_general(
-                g_rgbd, contrib, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            gcd = _split_dot2(g_rgbd, contrib)
 
             # suffix S_ch[g] = c_final_ch - acc_ch - (U_incl prefix)[g]; the
             # cotangents are per-PIXEL so they commute through the
             # entry-axis prefix matmul, collapsing 4 per-channel prefixes
             # into ONE matmul.
-            cg_dot = jax.lax.dot_general(
-                g_rgbd, cd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            cg_dot = _split_dot2(
+                g_rgbd, cd, (((0,), (0,)), ((), ()))
             )                                                 # [256, CHUNK]
-            prefix_dot = jax.lax.dot_general(
-                contrib * cg_dot, u_incl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            prefix_dot = _blocked_prefix(
+                contrib * cg_dot, inclusive=True
             )                                                 # [256, CHUNK]
             acc_dot = jnp.sum(
                 acc_ref[:, A_R:A_DEPTH + 1] * col_ref[:, 0:4],
@@ -444,9 +510,8 @@ def _bwd_kernel(
             )                                                 # [256, 1]
             sdotg = (col_ref[:, 6:7] - acc_dot) - prefix_dot
             # replayed accumulator update (same matmul as the forward)
-            acc_ref[:, A_R:A_DEPTH + 1] += jax.lax.dot_general(
-                contrib, cd, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            acc_ref[:, A_R:A_DEPTH + 1] += _split_dot2(
+                contrib, cd, (((1,), (1,)), ((), ()))
             )
 
             inv_q = 1.0 / q
@@ -468,10 +533,9 @@ def _bwd_kernel(
             # mean recentered likewise, keeping the expanded-quadratic
             # terms bounded (~(r+16)^2*conic) so fp32 cancellation error
             # stays ~1e-5 of the true gradient.
-            G = jax.lax.dot_general(
-                mom_ref[...], gpower, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                 # [8, CHUNK]
+            gp_hi, gp_lo = _bf16_split(gpower)
+            mom_b = mom_ref[...].astype(jnp.bfloat16)  # exact: k*j/4 ints
+            G = _dot(mom_b, gp_hi) + _dot(mom_b, gp_lo)       # [8, CHUNK]
             G0 = G[0:1, :]
             G1 = G[1:2, :]
             G2 = G[2:3, :]
@@ -499,7 +563,7 @@ def _bwd_kernel(
             obuf_ref[oslot] = jnp.concatenate(
                 [
                     g_mx, g_my, g_ca, g_cb, g_cc, g_opa, gcd,
-                    jnp.zeros((REC_WIDTH - 10, chunk), jnp.float32),
+                    jnp.zeros((REC_WIDTH - N_LIVE_FIELDS, chunk), jnp.float32),
                 ],
                 axis=0,
             )
@@ -527,7 +591,7 @@ def _bwd_kernel(
     jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")
 )
 def composite_backward(
-    records_t: jnp.ndarray,      # [16, cap_pad] float32, field-major sorted
+    records_t: jnp.ndarray,      # [REC_WIDTH, cap_pad] f32, field-major sorted
     chunk_tile: jnp.ndarray,
     chunk_s0: jnp.ndarray,
     chunk_lo: jnp.ndarray,

@@ -30,7 +30,10 @@ def build_covariance_3d(
 ) -> jnp.ndarray:
     """Sigma = L @ L^T with L = R @ diag(scale_modifier * scales)."""
     l = build_scaling_rotation(scales * scale_modifier, q)
-    return l @ jnp.swapaxes(l, -1, -2)
+    import jax
+
+    return jnp.matmul(l, jnp.swapaxes(l, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

@@ -88,9 +88,16 @@ def _expand_kernel(
         def wstep(k, acc):
             w = wbuf_ref[slot, :, pl.ds(k * 128, 128)]       # [8, 128]
             mask = (w[0:1, :] <= e_sub).astype(jnp.float32)  # [B, 128]
+            # HIGHEST precision is CORRECTNESS here, not accuracy: the
+            # window rows are integers up to 2^19 and the TPU's default
+            # single-pass bf16 MXU rounds them (8-bit mantissa) —
+            # measured: every sorted entry wrong on the real chip while
+            # CPU interpret was exact. Multi-pass f32 keeps int products
+            # < 2^24 exact.
             return acc + jax.lax.dot_general(
                 w, mask, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                                # [8, B]
 
         acc = jax.lax.fori_loop(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dreamscene_tpu.ops.covariance import build_covariance_3d
@@ -83,10 +84,16 @@ def project_gaussians(
     fy = height / (2.0 * tanfovy)
 
     # --- view/clip transforms -------------------------------------------
+    # HIGHEST precision: TPU's default bf16 MXU passes round screen
+    # positions by ~0.4% (catastrophic near w=0 and at radius/ceil
+    # boundaries — measured means2d diffs up to 1e5 vs fp32, flipped
+    # visibility); the CUDA preprocess is fp32 (4-wide dots, cost ~0)
     hom = jnp.concatenate([means3d, jnp.ones((n, 1), dtype)], axis=-1)
-    p_view = hom @ viewmatrix.T      # [N, 4]
+    p_view = jnp.matmul(hom, viewmatrix.T,
+                        precision=jax.lax.Precision.HIGHEST)    # [N, 4]
     tz = p_view[:, 2]
-    p_clip = hom @ projmatrix.T
+    p_clip = jnp.matmul(hom, projmatrix.T,
+                        precision=jax.lax.Precision.HIGHEST)
     p_w = 1.0 / (p_clip[:, 3] + 1e-7)
     ndc = p_clip[:, :3] * p_w[:, None]
     mean_x = ndc2pix(ndc[:, 0], width)

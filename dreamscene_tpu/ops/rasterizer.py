@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from dreamscene_tpu.ops.binning import TILE, TILE_PIX, bin_splats, cdiv
 from dreamscene_tpu.ops.composite import (
     ACC_ROWS,
+    N_LIVE_FIELDS,
     REC_WIDTH,
     composite_backward,
     composite_forward,
@@ -52,6 +53,24 @@ def _u16_row_gather(src, idx):
     return jax.lax.bitcast_convert_type(
         g.reshape(idx.shape[0], w, 2), jnp.float32
     )
+
+
+def _blocked_cumsum(x, block=128):
+    """Inclusive cumsum over axis 0, two-level blocked. XLA lowers a flat
+    cumsum to log2(M) shifted-add passes over the whole array (measured
+    3.0 ms for [1.2M, 16] f32 on v5e = ~21 full-array sweeps); blocking
+    cuts that to log2(block) sweeps + a recursively tiny carry cumsum
+    (measured ~1.4 ms incl. the boundary gathers). Same reassociated-fp32
+    error class as the log-tree."""
+    m, w = x.shape
+    if m <= block:
+        return jnp.cumsum(x, axis=0)
+    nb = -(-m // block)
+    xp = jnp.pad(x, ((0, nb * block - m), (0, 0)))
+    inner = jnp.cumsum(xp.reshape(nb, block, w), axis=1)
+    carry = _blocked_cumsum(inner[:, -1, :], block)
+    carry = jnp.concatenate([jnp.zeros((1, w), x.dtype), carry[:-1]], axis=0)
+    return (inner + carry[:, None, :]).reshape(nb * block, w)[:m]
 
 
 def _gather(rec_n, gid_pad):
@@ -113,9 +132,13 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     # SLOWER (12.8 ms fused / 19.6 ms materialized vs 7.7 ms for the
     # plain f32 transpose+gather fusion; scripts/micro_gather4.py). Keep
     # the f32 fusion here.
-    grec = jnp.transpose(grec_t)                  # [n_chunks*chunk, 16]
+    # slice to the live fields BEFORE the expensive chain: rows
+    # N_LIVE_FIELDS..REC_WIDTH-1 of the grad table are structurally zero
+    # (kernel pads them for 8-aligned sublane DMA) and the transpose,
+    # gather and cumsum below are all bandwidth-bound.
+    grec = jnp.transpose(grec_t[:N_LIVE_FIELDS])  # [n_chunks*chunk, 10]
     capacity = pos_of_entry.shape[0]
-    grec_e = grec[pos_of_entry]                   # [capacity, 16] expansion ord
+    grec_e = grec[pos_of_entry]                   # [capacity, 10] expansion
     # zero rows past the live entries: segments are CONSECUTIVE in
     # expansion order (ends[r] == starts[r+1] up to dropped entries,
     # which are exactly the zeroed rows), so one boundary gather at
@@ -124,15 +147,21 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     n_live = jnp.sum(surv)
     e = jnp.arange(capacity, dtype=jnp.int32)
     grec_e = jnp.where((e < n_live)[:, None], grec_e, 0.0)
-    csum = jnp.cumsum(grec_e, axis=0)
+    csum = _blocked_cumsum(grec_e)
     bot = jnp.where(
         (seg_starts > 0)[:, None],
         csum[jnp.clip(seg_starts - 1, 0, capacity - 1)],
         0.0,
     )                                             # [N, 16] (1.2M-row src:
     top = jnp.concatenate([bot[1:], csum[-1:]], axis=0)  # f32 beats u16)
-    grad_rank = top - bot                         # [N, 16] rank order
+    grad_rank = top - bot                 # [N, N_LIVE_FIELDS] rank order
     grad_n = _u16_row_gather(grad_rank, inv_perm)  # 300K-row src: u16 wins
+    grad_n = jnp.concatenate(
+        [grad_n,
+         jnp.zeros((grad_n.shape[0], REC_WIDTH - N_LIVE_FIELDS),
+                   grad_n.dtype)],
+        axis=1,
+    )
     return grad_n, None, None, None, None, None, None
 
 

@@ -111,7 +111,12 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     coeffs = num_sh_coeffs(deg)
     assert sh.shape[-1] >= coeffs
     basis = sh_basis(deg, dirs)  # [..., K']
-    return jnp.einsum("...ck,...k->...c", sh[..., :coeffs], basis)
+    # HIGHEST: TPU's default bf16 einsum rounds colors ~0.4% (CUDA
+    # evaluates SH in fp32); K<=25 dots, cost negligible
+    import jax
+
+    return jnp.einsum("...ck,...k->...c", sh[..., :coeffs], basis,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def RGB2SH(rgb: jnp.ndarray) -> jnp.ndarray:

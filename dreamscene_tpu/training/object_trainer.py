@@ -609,6 +609,19 @@ class ObjectTrainer:
                 self.state = dataclasses.replace(
                     st, params=params, opt=opt, aux=aux
                 )
+                if self.rec_count % 100 == 0:
+                    # recon-pair eval render (reference
+                    # object_trainer.py:654-656 save_recon_img)
+                    from dreamscene_tpu.utils.media import save_image_grid
+
+                    out = object_render(
+                        self.state, cams[i], bg_color=self._bg_color(),
+                        test=True, interpret=self.interpret)
+                    save_image_grid(
+                        str(self.vis_path / f"recon_{self.rec_count}.jpg"),
+                        [np.asarray(jnp.clip(out["image"], 0, 1)),
+                         np.asarray(self.gt_images[i])],
+                    )
                 if self.rec_count < densify_until:
                     if self.rec_count % optim.densification_interval == 0:
                         size_thr = (
@@ -679,15 +692,27 @@ class ObjectTrainer:
 
     # ------------------------------------------------------------------
     def video_inference(self, tag: str):
+        """Orbit rgb + depth videos (reference object_trainer.py:81-115
+        saves video_rgb_*.mp4 and video_depth_*.mp4)."""
         cams = S.load_clip_cam(self.pose_args)
-        frames = []
+        frames, dframes = [], []
         for cam in cams:
             out = object_render(self.state, cam, bg_color=(1, 1, 1), test=True,
                                 interpret=self.interpret)
             img = np.asarray(jnp.clip(out["image"], 0, 1))
             frames.append((np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8))
+            d = np.asarray(out["depth"])
+            a = np.asarray(out["alpha"])
+            lo = d[a > 0.5].min() if (a > 0.5).any() else 0.0
+            hi = d.max() + 1e-6
+            dn = np.clip((d - lo) / (hi - lo), 0, 1) * (a > 0.1)
+            dframes.append(
+                np.repeat((dn * 255).astype(np.uint8)[..., None], 3, -1))
         write_video(
             str(self.vis_path / f"video_rgb_{self.id}_{tag}.mp4"), frames
+        )
+        write_video(
+            str(self.vis_path / f"video_depth_{self.id}_{tag}.mp4"), dframes
         )
 
     def save_model(self, tag):

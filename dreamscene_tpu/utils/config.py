@@ -159,6 +159,8 @@ class GuidanceParams:
     text: str = ""
     inverse_text: str = ""
     textual_inversion_path: Optional[str] = None
+    # VERIFIED DEAD upstream: multitime_sd_utils.py:55 accepts LoRA_path
+    # but never reads it (no loader call anywhere). Kept for YAML compat.
     LoRA_path: Optional[str] = None
     negative: str = ""
     guidance_scale: float = 7.5

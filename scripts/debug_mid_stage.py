@@ -28,20 +28,20 @@ def proj(*a):
                              sh_degree=2)
 
 
-def binned(*a):
+def binned(interp, *a):
     s = proj(*a)
     b = bin_splats(s.means2d, s.depths, s.radii, s.visible, 96, 96,
-                   capacity=CAP, chunk=128)
+                   capacity=CAP, chunk=128, interpret=interp)
     return b
 
 
 sp_t = jax.jit(proj)(*args)
-b_t = jax.jit(binned)(*args)
+b_t = jax.jit(lambda *a: binned(False, *a))(*args)
 cpu = jax.devices("cpu")[0]
 with jax.default_device(cpu):
     a_c = jax.device_put(args, cpu)
     sp_c = jax.jit(proj)(*a_c)
-    b_c = jax.jit(binned)(*a_c)
+    b_c = jax.jit(lambda *a: binned(True, *a))(*a_c)
 
 for f in ["means2d", "depths", "conics", "colors", "radii", "visible"]:
     t = np.asarray(getattr(sp_t, f)).astype(np.float64)

@@ -8,11 +8,17 @@ Checks the CPU-interpret CI cannot do:
      tests/test_capacity_overflow.py on CPU).
   2. full-scale (300K splats, 512^2, bench scene, overflowing): compiled
      TPU vs the SAME Pallas path in interpret mode on the SAME TPU
-     backend — identical projection floats, so any difference is a
-     Mosaic compilation bug. (Cross-backend comparison is invalid here:
-     CPU-vs-TPU projection rounding shifts radii at ceil() boundaries,
-     changing the overflow drop set — measured n_dropped delta 0.06%,
-     image max-diff 0.83.)
+     backend — identical projection floats and identical drop set, so a
+     difference beyond small-rounding scale is a Mosaic compilation bug.
+     NOT bit-exact by design: Mosaic's exp/log/matmul lowerings round
+     differently from XLA's (measured per-op 3e-6..6e-5 on v5e), and the
+     saturated scene amplifies isolated pixels through applied-threshold
+     flips — so the gate is quantile-based: p999 tight (bulk must agree
+     to rounding), max loose (a few flip pixels allowed). The int-key
+     corruption class this exists to catch shifts EVERY pixel by >1e-2.
+     (Cross-backend comparison is invalid here: CPU-vs-TPU projection
+     rounding shifts radii at ceil() boundaries, changing the overflow
+     drop set — measured n_dropped delta 0.06%, image max-diff 0.83.)
 
 Run: timeout 580 python scripts/tpu_parity.py            (TPU tunnel env)
 Prints one JSON line {"ok": bool, ...metrics}. Exit 1 on failure.
@@ -60,7 +66,7 @@ CAP_MID = 160 * N_MID  # bench-scene splats are fat; must cover ALL entries
 
 def loss_tpu(means3d):
     out = render(**{**scene, "means3d": means3d}, **kw, bg=bg, sh_degree=2,
-                 capacity=CAP_MID, chunk=128)
+                 capacity=CAP_MID, chunk=256)
     return jnp.sum(out["image"] ** 2), out
 
 
@@ -112,15 +118,23 @@ def full(means3d, interpret):
 img_c, alpha_c, nd_c = jax.jit(lambda m: full(m, False))(big["means3d"])
 img_i, alpha_i, nd_i = jax.jit(lambda m: full(m, True))(big["means3d"])
 
-full_img_err = float(jnp.abs(img_c - img_i).max())
-full_alpha_err = float(jnp.abs(alpha_c - alpha_i).max())
-report["full_img_atol"] = full_img_err
-report["full_alpha_atol"] = full_alpha_err
+d_img = np.abs(np.asarray(img_c) - np.asarray(img_i)).ravel()
+d_alpha = np.abs(np.asarray(alpha_c) - np.asarray(alpha_i)).ravel()
+report["full_img_atol"] = float(d_img.max())
+report["full_img_p999"] = float(np.quantile(d_img, 0.999))
+report["full_alpha_atol"] = float(d_alpha.max())
+report["full_alpha_p999"] = float(np.quantile(d_alpha, 0.999))
 report["n_dropped"] = [int(nd_c), int(nd_i)]
 if int(nd_c) != int(nd_i):
     fail("full_ndropped", "mismatch")
-if full_img_err > 1e-5:
-    fail("full_forward", "compiled != interpret on same backend")
+# measured compounding on this adversarial scene (hundreds of live
+# entries per pixel): Mosaic-vs-XLA log ulp ~4e-5/entry accumulates to
+# p999 ~2e-3 in rgb (alpha stays ~2e-5); catastrophic miscompiles (the
+# int-key class) shift every pixel by >1e-2.
+if report["full_img_p999"] > 2.5e-3 or report["full_alpha_p999"] > 5e-4:
+    fail("full_forward_bulk", "p999 exceeds compounded rounding scale")
+if report["full_img_atol"] > 2e-2 or report["full_alpha_atol"] > 2e-2:
+    fail("full_forward_max", "max diff exceeds 2e-2")
 
 print(json.dumps(report))
 sys.exit(0 if report["ok"] else 1)
