@@ -53,6 +53,7 @@ def cdiv(a: int, b: int) -> int:
 class BinnedSplats(NamedTuple):
     rank_sorted: jnp.ndarray   # [capacity] int32 depth rank of sorted entry
     gid_sorted: jnp.ndarray    # [capacity] int32 original splat id of entry
+    n_chunks_used: jnp.ndarray # [] int32 live chunk count (kernel loop bound)
     chunk_tile: jnp.ndarray    # [n_chunks] int32 tile id (n_tiles = trash)
     chunk_s0: jnp.ndarray      # [n_chunks] int32 128-aligned sorted column
     chunk_lo: jnp.ndarray      # [n_chunks] int32 first live lane of chunk
@@ -94,9 +95,19 @@ def bin_splats(
     height: int,
     capacity: int,
     chunk: int = 256,
+    conics: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> BinnedSplats:
-    """Build the tile-sorted, depth-ordered entry table + chunk metadata."""
+    """Build the tile-sorted, depth-ordered entry table + chunk metadata.
+
+    When `conics`/`opacities` are given, entries whose splat cannot reach
+    alpha >= 1/255 anywhere in their tile are re-keyed to the trash tile
+    (exact ellipse-vs-tile test, see `_cull_entries`). This BEATS the
+    CUDA reference's square-rect binning: those entries contribute
+    EXACTLY zero in the composite kernel (its `raw < ALPHA_MIN` mask),
+    so results are unchanged while live per-tile runs — and both
+    composite kernels' work — shrink by the cull rate."""
     n = means2d.shape[0]
     tiles_x = cdiv(width, TILE)
     tiles_y = cdiv(height, TILE)
@@ -182,6 +193,12 @@ def bin_splats(
         shift=shift, interpret=interpret,
     )
 
+    if conics is not None and opacities is not None:
+        key_i32 = _cull_entries(
+            key_i32, gid, means2d, conics, opacities,
+            n_tiles=n_tiles, tiles_x=tiles_x, shift=shift,
+        )
+
     # 4. sort entries by the packed key (u32-reinterpreted: the in-kernel
     # i32 shift may wrap into the sign bit), carrying the entry index and
     # the splat id.
@@ -256,6 +273,7 @@ def bin_splats(
     return BinnedSplats(
         rank_sorted=rank_s,
         gid_sorted=gid_s,
+        n_chunks_used=u_used,
         chunk_tile=chunk_tile,
         chunk_s0=chunk_s0,
         chunk_lo=chunk_lo,
@@ -273,3 +291,70 @@ def bin_splats(
 
 def cdiv_dyn(a: jnp.ndarray, b: int) -> jnp.ndarray:
     return -(-a // b)
+
+
+def _cull_entries(key_i32, gid, means2d, conics, opacities, *,
+                  n_tiles, tiles_x, shift):
+    """Re-key entries that cannot contribute to their tile.
+
+    The composite kernel zeroes any entry-pixel pair with
+    raw = opa * exp(-0.5 Q(d)) < ALPHA_MIN (1/255), d = mean - pixel.
+    So an entry is an exact no-op for its whole 16x16 tile iff
+    min_{p in tile} Q(mean - p) > 2*log(255*opa), with
+    Q(d) = ca dx^2 + 2 cb dx dy + cc dy^2 (positive definite: EWA adds a
+    0.3 low-pass to the diagonal). The box-min of a PD quadratic is 0 if
+    the mean lies inside the tile, else the min over the four edges,
+    each a 1D quadratic minimized at its clamped vertex — all
+    elementwise. A small conservative margin absorbs fp divergence from
+    the kernel's own evaluation, so culling NEVER changes the rendered
+    image; it only deletes work the kernel would mask to zero anyway
+    (the CUDA reference bins the full square rect and pays for these)."""
+    from dreamscene_tpu.ops.gather import u16_row_gather
+
+    key_u = jax.lax.bitcast_convert_type(key_i32, jnp.uint32)
+    tile = (key_u >> shift).astype(jnp.int32)
+    valid = tile < n_tiles
+    tclip = jnp.clip(tile, 0, n_tiles - 1)
+
+    opa = opacities.astype(jnp.float32)
+    tq = 2.0 * jnp.log(255.0 * jnp.maximum(opa, 1e-30))
+    feat = jnp.concatenate(
+        [means2d.astype(jnp.float32), conics.astype(jnp.float32),
+         tq[:, None]],
+        axis=1,
+    )                                                    # [N, 6]
+    fe = u16_row_gather(feat, gid)                       # [capacity, 6]
+    mx, my, ca, cb, cc, tqe = (fe[:, i] for i in range(6))
+    ca = jnp.maximum(ca, 1e-12)
+    cc = jnp.maximum(cc, 1e-12)
+
+    x0 = ((tclip % tiles_x) * TILE).astype(jnp.float32)
+    y0 = ((tclip // tiles_x) * TILE).astype(jnp.float32)
+    lx = mx - (x0 + TILE - 1)
+    ux = mx - x0
+    ly = my - (y0 + TILE - 1)
+    uy = my - y0
+    inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
+
+    def q(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def edge_x(c):     # dx fixed at c, minimize over dy in [ly, uy]
+        dy = jnp.clip(-cb * c / cc, ly, uy)
+        return q(c, dy)
+
+    def edge_y(c):
+        dx = jnp.clip(-cb * c / ca, lx, ux)
+        return q(dx, c)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(ux)),
+        jnp.minimum(edge_y(ly), edge_y(uy)),
+    )
+    qmin = jnp.where(inside, 0.0, qmin)
+    cull = valid & (qmin > tqe + 1e-2)     # margin: keep when borderline
+
+    trash = jnp.uint32(n_tiles) << shift
+    rank_mask = jnp.uint32((1 << shift) - 1)
+    new_key = jnp.where(cull, trash | (key_u & rank_mask), key_u)
+    return jax.lax.bitcast_convert_type(new_key, jnp.int32)

@@ -247,7 +247,7 @@ def _cd_rows(rec):
 
 def _fwd_kernel(
     # scalar prefetch
-    tile_ref, s0_ref, lo_ref, hi_ref, first_ref,
+    tile_ref, s0_ref, lo_ref, hi_ref, first_ref, uused_ref,
     # inputs
     rec_hbm,
     # outputs
@@ -259,7 +259,10 @@ def _fwd_kernel(
     # acc_ref holds the tile state COLUMN-form [256, 8] (pixels on
     # sublanes) so the per-chunk math needs no vector transposes; the
     # row-form [8, 256] conversion happens once per tile at flush.
-    n_chunks = tile_ref.shape[0]
+    # dynamic loop bound: chunks past the live count carry no entries
+    # (hi == lo == 0) — skipping them entirely saves their DMA issue +
+    # prologue cost, and entry culling grows their number substantially
+    n_u = uused_ref[0]
     n_rows = out_ref.shape[0]
 
     # init: background state for every tile (incl. never-touched ones)
@@ -275,7 +278,7 @@ def _fwd_kernel(
 
     # prologue: fill the pipeline
     for w in range(NBUF - 1):
-        @pl.when(w < n_chunks)
+        @pl.when(w < n_u)
         def _():
             rec_dma(w, w).start()
 
@@ -283,7 +286,7 @@ def _fwd_kernel(
         slot = jax.lax.rem(u, NBUF)
         t = tile_ref[u]
 
-        @pl.when(u + NBUF - 1 < n_chunks)
+        @pl.when(u + NBUF - 1 < n_u)
         def _():
             rec_dma(jax.lax.rem(u + NBUF - 1, NBUF), u + NBUF - 1).start()
 
@@ -323,7 +326,7 @@ def _fwd_kernel(
 
         return ()
 
-    jax.lax.fori_loop(0, n_chunks, body, (), unroll=False)
+    jax.lax.fori_loop(0, n_u, body, (), unroll=False)
 
 
 @functools.partial(
@@ -336,6 +339,7 @@ def composite_forward(
     chunk_lo: jnp.ndarray,      # [n_chunks] int32 first live lane
     chunk_hi: jnp.ndarray,      # [n_chunks] int32 end of live lanes
     chunk_first: jnp.ndarray,   # [n_chunks + 1] int32 1 = chunk starts a tile
+    n_chunks_used: jnp.ndarray,  # [] int32 live chunk count
     n_tiles: int,
     tiles_x: int,
     chunk: int = 256,
@@ -345,7 +349,7 @@ def composite_forward(
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -370,7 +374,8 @@ def composite_forward(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first, records_t)
+    )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first,
+      n_chunks_used.reshape(1), records_t)
     return out
 
 
@@ -380,7 +385,7 @@ def composite_forward(
 
 def _bwd_kernel(
     # scalar prefetch
-    tile_ref, s0_ref, lo_ref, hi_ref, first_ref, tord_ref,
+    tile_ref, s0_ref, lo_ref, hi_ref, first_ref, tord_ref, uused_ref,
     # inputs
     rec_hbm, final_hbm, grad_hbm,
     # outputs
@@ -394,7 +399,7 @@ def _bwd_kernel(
     # acc_ref is COLUMN-form [256, 8] (pixels on sublanes); col_ref caches
     # the tile's cotangent/final rows transposed to column form once per
     # tile: cols 0..3 g_rgbd, 4 g_t, 5 t_final, 6 (c_final . g_rgbd).
-    n_chunks = tile_ref.shape[0]
+    n_u = uused_ref[0]   # dynamic live-chunk bound (see _fwd_kernel)
     mom_ref[...] = _pixel_moments()
 
     def rec_dma(slot, u):
@@ -419,7 +424,7 @@ def _bwd_kernel(
         return f, g
 
     def start_lookahead(w):
-        @pl.when(w < n_chunks)
+        @pl.when(w < n_u)
         def _():
             rec_dma(jax.lax.rem(w, NBUF), w).start()
 
@@ -575,16 +580,21 @@ def _bwd_kernel(
         ).start()
         return ()
 
-    jax.lax.fori_loop(0, n_chunks, body, (), unroll=False)
+    jax.lax.fori_loop(0, n_u, body, (), unroll=False)
 
-    # drain the last two output DMAs (n_chunks is static)
-    for k in range(min(2, n_chunks)):
-        u = n_chunks - 1 - k
-        pltpu.make_async_copy(
-            obuf_ref.at[u % 2],
-            grec_hbm.at[:, pl.ds(u * chunk, chunk)],
-            osem_ref.at[u % 2],
-        ).wait()
+    # drain the last two output DMAs (dynamic bound: grad rows for chunks
+    # >= n_u are never written — the VJP masks them by position instead)
+    for k in range(2):
+        u = n_u - 1 - k
+
+        @pl.when(u >= 0)
+        def _():
+            oslot = jax.lax.rem(u, 2)
+            pltpu.make_async_copy(
+                obuf_ref.at[oslot],
+                grec_hbm.at[:, pl.ds(u * chunk, chunk)],
+                osem_ref.at[oslot],
+            ).wait()
 
 
 @functools.partial(
@@ -597,6 +607,7 @@ def composite_backward(
     chunk_lo: jnp.ndarray,
     chunk_hi: jnp.ndarray,
     chunk_first: jnp.ndarray,    # [n_chunks + 1]
+    n_chunks_used: jnp.ndarray,  # [] int32 live chunk count
     final_accums: jnp.ndarray,   # [n_tiles+1, 8, 256] forward output
     grad_accums: jnp.ndarray,    # [n_tiles+1, 8, 256] cotangents
     n_tiles: int,
@@ -610,7 +621,7 @@ def composite_backward(
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -643,5 +654,5 @@ def composite_backward(
         ),
         interpret=interpret,
     )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first, tord,
-      records_t, final_accums, grad_accums)
+      n_chunks_used.reshape(1), records_t, final_accums, grad_accums)
     return grec_t

@@ -39,20 +39,7 @@ from dreamscene_tpu.ops.composite import (
 from dreamscene_tpu.ops.projection import project_gaussians
 
 
-def _u16_row_gather(src, idx):
-    """Exact f32 row gather through a uint16-pair bitcast. XLA's TPU
-    gather path runs ~5x faster on sub-32-bit element types (measured
-    v5e, 1.2M rows x 16 f32: 9.6-10.3 ms for any 32-bit element form vs
-    2.05 ms as u16x32 — scripts/micro_gather2/3.py); splitting each f32
-    into its two u16 halves is bit-exact."""
-    n, w = src.shape
-    s16 = jax.lax.bitcast_convert_type(
-        src.astype(jnp.float32), jnp.uint16
-    ).reshape(n, 2 * w)
-    g = s16[idx]
-    return jax.lax.bitcast_convert_type(
-        g.reshape(idx.shape[0], w, 2), jnp.float32
-    )
+from dreamscene_tpu.ops.gather import u16_row_gather as _u16_row_gather
 
 
 def _blocked_cumsum(x, block=128):
@@ -146,7 +133,12 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     # separate top/bot gathers (each ~1.4-1.9ms at 300K rows on v5e).
     n_live = jnp.sum(surv)
     e = jnp.arange(capacity, dtype=jnp.int32)
-    grec_e = jnp.where((e < n_live)[:, None], grec_e, 0.0)
+    # two masks: rows past the live entries (dropped), and rows whose
+    # grad-table position lies past the live-chunk bound (culled/trash
+    # entries — the backward kernel's dynamic loop never writes there)
+    u_used = chunks[-1]
+    keep = (e < n_live) & (pos_of_entry < u_used * chunk)
+    grec_e = jnp.where(keep[:, None], grec_e, 0.0)
     csum = _blocked_cumsum(grec_e)
     bot = jnp.where(
         (seg_starts > 0)[:, None],
@@ -263,7 +255,10 @@ def render_from_splats(
 
     binned = bin_splats(
         means2d, splats.depths, splats.radii, splats.visible,
-        width, height, capacity=capacity, chunk=chunk, interpret=interpret,
+        width, height, capacity=capacity, chunk=chunk,
+        conics=jax.lax.stop_gradient(splats.conics),
+        opacities=jax.lax.stop_gradient(splats.opacities),
+        interpret=interpret,
     )
 
     # --- gather per-entry records (differentiable: grads scatter-add back)
@@ -288,7 +283,7 @@ def render_from_splats(
         gid_pad, binned.pos_of_entry, binned.surv_counts,
         binned.seg_starts,
         (binned.chunk_tile, binned.chunk_s0, binned.chunk_lo,
-         binned.chunk_hi, binned.chunk_first),
+         binned.chunk_hi, binned.chunk_first, binned.n_chunks_used),
         n_tiles, tiles_x, chunk, interpret,
     )
 
