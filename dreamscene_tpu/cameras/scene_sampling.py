@@ -24,7 +24,6 @@ from dreamscene_tpu.cameras.sampling import (
     _lookat_pose,
     _pose_to_rt,
     gen_random_pos,
-    safe_normalize,
     spherical_centers,
 )
 

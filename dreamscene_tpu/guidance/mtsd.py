@@ -27,7 +27,6 @@ traces into one XLA program — there is no renderer/guidance device split
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, NamedTuple
 
 import numpy as np

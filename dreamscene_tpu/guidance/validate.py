@@ -29,9 +29,7 @@ Random tiny weights (CI): finite numbers, shapes, files written.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
-import os
 from pathlib import Path
 
 import numpy as np
@@ -83,7 +81,8 @@ def run_validation(guidance, out_dir: str, size: int = 512,
     # 3. one guidance ladder on the test card (train_step numerics)
     text = guidance.get_text_embeds([prompt, "", ""])
     ladder = guidance.sample_ladder(0.0)
-    n_rungs = max(len(ladder), 1)
+    if len(ladder) == 0:        # degenerate config: walk one t=0 rung
+        ladder = [0]
     noise = mtsd.make_ladder_noise(jax.random.key(2), lat2.shape)
     scores = mtsd.ladder_scores(
         mods, jax.lax.stop_gradient(lat2), noise,

@@ -26,7 +26,6 @@ import os
 
 import numpy as np
 
-from dreamscene_tpu.models.gaussians import GaussianState, create_from_points
 from dreamscene_tpu.models.ply import fetch_point_ply, store_point_ply
 from dreamscene_tpu.ops.sh import SH2RGB
 

@@ -13,8 +13,10 @@ entry table**:
      the entry->rank mapping is recovered with a scatter+cumsum (no
      searchsorted, no per-splat loops);
   3. entries are sorted by a SINGLE packed uint32 key `(tile << S) | rank`
-     carrying only the entry index as payload (falls back to a 2-key sort
-     when tile/rank bits exceed 32); per-tile runs come out front-to-back;
+     carrying the entry index and splat id as payloads; when tile+rank
+     bits exceed 32 the low rank bits are DROPPED from the key — the
+     sort is stable and expansion order is rank-major, so ties keep
+     exact depth order; per-tile runs come out front-to-back;
   4. instead of materializing a chunk-padded record table (measured ~25ms
      of XLA gather/select at 1.2M entries), binning emits tiny per-chunk
      metadata (tile, start row, live rows, tile-start flag) and the
@@ -41,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from dreamscene_tpu.ops.expand import expand_entries
+from dreamscene_tpu.ops.gather import u16_row_gather_i32
 
 TILE = 16          # pixels per tile side
 TILE_PIX = TILE * TILE
@@ -98,12 +101,13 @@ def bin_splats(
     conics: jnp.ndarray | None = None,
     opacities: jnp.ndarray | None = None,
     interpret: bool = False,
+    rank_drop_override: int | None = None,
 ) -> BinnedSplats:
     """Build the tile-sorted, depth-ordered entry table + chunk metadata.
 
     When `conics`/`opacities` are given, entries whose splat cannot reach
     alpha >= 1/255 anywhere in their tile are re-keyed to the trash tile
-    (exact ellipse-vs-tile test, see `_cull_entries`). This BEATS the
+    (conservative capsule+circle test, see `_capsule_params`). This BEATS the
     CUDA reference's square-rect binning: those entries contribute
     EXACTLY zero in the composite kernel (its `raw < ALPHA_MIN` mask),
     so results are unchanged while live per-tile runs — and both
@@ -182,22 +186,30 @@ def bin_splats(
     # record-gather index directly, deleting the [N,16] depth-reorder
     # gather of the record table (measured 1.9-6.6ms depending on XLA's
     # layout mood).
+    # key budget: tile needs bit_length(n_tiles) bits (trash = n_tiles),
+    # rank needs bit_length(n-1). When the sum exceeds 32 (e.g. 3M
+    # splats at 512^2), drop low rank bits from the key: the entry sort
+    # is STABLE and expansion order is rank-major, so entries tying on
+    # (tile, coarse rank) still come out in exact depth order.
     shift = max(int(n - 1).bit_length(), 1)
-    assert (n_tiles + 1) * (1 << shift) <= (1 << 32), (
-        "packed sort key exceeds 32 bits (image too large for N); "
-        "reduce render size or splat count"
-    )
+    rank_drop = max(0, int(n_tiles).bit_length() + shift - 32)
+    if rank_drop_override is not None:   # test hook: exercise the
+        rank_drop = rank_drop_override   # coarse-key path at small N
+    shift -= rank_drop
+    assert shift >= 1, "image too large: tile bits alone exceed the key"
+    caps = None
+    if conics is not None and opacities is not None:
+        # per-splat capsule channels for the IN-KERNEL entry cull: the
+        # expand window table has 3 idle rows riding an already-paid
+        # matmul, so the test data travels for free (the previous
+        # XLA-side exact-Q cull paid a ~2 ms per-entry feature gather).
+        caps0 = _capsule_params(means2d, conics, opacities)  # [N,3] orig
+        caps = u16_row_gather_i32(caps0, perm)               # rank order
     key_i32, gid = expand_entries(
         offsets, basenx, perm, total,
         capacity=capacity, n=n, n_tiles=n_tiles, tiles_x=tiles_x,
-        shift=shift, interpret=interpret,
+        shift=shift, rank_drop=rank_drop, caps=caps, interpret=interpret,
     )
-
-    if conics is not None and opacities is not None:
-        key_i32 = _cull_entries(
-            key_i32, gid, means2d, conics, opacities,
-            n_tiles=n_tiles, tiles_x=tiles_x, shift=shift,
-        )
 
     # 4. sort entries by the packed key (u32-reinterpreted: the in-kernel
     # i32 shift may wrap into the sign bit), carrying the entry index and
@@ -206,7 +218,10 @@ def bin_splats(
     key_u = jax.lax.bitcast_convert_type(key_i32, jnp.uint32)
     key_s, e_s, gid_s = jax.lax.sort((key_u, e, gid), num_keys=1)
     tile_s = (key_s >> shift).astype(jnp.int32)
-    rank_s = (key_s & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
+    # coarse when rank_drop > 0 (low bits dropped from the key; order is
+    # still exact by stability) — diagnostics only
+    rank_s = ((key_s & jnp.uint32((1 << shift) - 1))
+              << rank_drop).astype(jnp.int32)
 
     # 5. per-chunk metadata from per-tile runs (1025 binary searches over
     # the sorted keys — cheap; a scatter-add histogram is not). Each
@@ -293,68 +308,65 @@ def cdiv_dyn(a: jnp.ndarray, b: int) -> jnp.ndarray:
     return -(-a // b)
 
 
-def _cull_entries(key_i32, gid, means2d, conics, opacities, *,
-                  n_tiles, tiles_x, shift):
-    """Re-key entries that cannot contribute to their tile.
+def _capsule_params(means2d, conics, opacities):
+    """Per-splat capsule channels for the in-kernel entry cull.
 
     The composite kernel zeroes any entry-pixel pair with
-    raw = opa * exp(-0.5 Q(d)) < ALPHA_MIN (1/255), d = mean - pixel.
-    So an entry is an exact no-op for its whole 16x16 tile iff
-    min_{p in tile} Q(mean - p) > 2*log(255*opa), with
-    Q(d) = ca dx^2 + 2 cb dx dy + cc dy^2 (positive definite: EWA adds a
-    0.3 low-pass to the diagonal). The box-min of a PD quadratic is 0 if
-    the mean lies inside the tile, else the min over the four edges,
-    each a 1D quadratic minimized at its clamped vertex — all
-    elementwise. A small conservative margin absorbs fp divergence from
-    the kernel's own evaluation, so culling NEVER changes the rendered
-    image; it only deletes work the kernel would mask to zero anyway
-    (the CUDA reference bins the full square rect and pays for these)."""
-    from dreamscene_tpu.ops.gather import u16_row_gather
+    raw = opa * exp(-0.5 Q(d)) < ALPHA_MIN (1/255): the reachable set is
+    the ellipse Q(d) <= tq, tq = 2*log(255*opa). A CONSERVATIVE superset
+    of that ellipse is capsule(segment mid +- v, radius B) INTERSECT
+    circle(mid, |v|), where v = A * u_major, A/B the semi-major/minor
+    radii at the tq level. The expand kernel tests the entry's 16x16
+    tile against both (ops/expand.py) and re-keys provably-zero entries
+    to the trash tile — exactly the entries whose work the kernel would
+    mask to zero, so results are unchanged (the CUDA reference bins the
+    full square rect and pays for them).
 
-    key_u = jax.lax.bitcast_convert_type(key_i32, jnp.uint32)
-    tile = (key_u >> shift).astype(jnp.int32)
-    valid = tile < n_tiles
-    tclip = jnp.clip(tile, 0, n_tiles - 1)
-
+    Encoding: 6 x 12-bit fields packed into 3 i32 (values < 2^24, so the
+    window delta-sums stay exact in f32): mid_x, mid_y (0.5 px grid,
+    [-1024, 1023.5]), v_x, v_y (0.5 px, outward-rounded so the capsule
+    only grows), B (0.5 px, +1 px cushion absorbing quantization + fp
+    slop; the kernel also widens tile half-extents to 7.8 px for the
+    0.5-px mid grid and applies a rotation-aware test threshold),
+    no_cull flag (range overflow -> never cull)."""
+    ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
     opa = opacities.astype(jnp.float32)
     tq = 2.0 * jnp.log(255.0 * jnp.maximum(opa, 1e-30))
-    feat = jnp.concatenate(
-        [means2d.astype(jnp.float32), conics.astype(jnp.float32),
-         tq[:, None]],
-        axis=1,
-    )                                                    # [N, 6]
-    fe = u16_row_gather(feat, gid)                       # [capacity, 6]
-    mx, my, ca, cb, cc, tqe = (fe[:, i] for i in range(6))
-    ca = jnp.maximum(ca, 1e-12)
-    cc = jnp.maximum(cc, 1e-12)
+    half_tr = 0.5 * (ca + cc)
+    root = jnp.sqrt(jnp.maximum(0.25 * (ca - cc) ** 2 + cb * cb, 0.0))
+    lam_min = jnp.maximum(half_tr - root, 1e-12)
+    lam_max = jnp.maximum(half_tr + root, 1e-12)
+    tq_pos = jnp.maximum(tq, 0.0)
+    big_a = jnp.sqrt(tq_pos / lam_min)
+    big_b = jnp.sqrt(tq_pos / lam_max)
+    # eigenvector of lam_min (major axis); degenerate -> (1, 0)
+    ex = cb
+    ey = lam_min - ca
+    en = jnp.sqrt(ex * ex + ey * ey)
+    degen = en < 1e-8
+    ux = jnp.where(degen, 1.0, ex / jnp.maximum(en, 1e-30))
+    uy = jnp.where(degen, 0.0, ey / jnp.maximum(en, 1e-30))
+    vx = ux * big_a
+    vy = uy * big_a
 
-    x0 = ((tclip % tiles_x) * TILE).astype(jnp.float32)
-    y0 = ((tclip // tiles_x) * TILE).astype(jnp.float32)
-    lx = mx - (x0 + TILE - 1)
-    ux = mx - x0
-    ly = my - (y0 + TILE - 1)
-    uy = my - y0
-    inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
-
-    def q(dx, dy):
-        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-
-    def edge_x(c):     # dx fixed at c, minimize over dy in [ly, uy]
-        dy = jnp.clip(-cb * c / cc, ly, uy)
-        return q(c, dy)
-
-    def edge_y(c):
-        dx = jnp.clip(-cb * c / ca, lx, ux)
-        return q(dx, c)
-
-    qmin = jnp.minimum(
-        jnp.minimum(edge_x(lx), edge_x(ux)),
-        jnp.minimum(edge_y(ly), edge_y(uy)),
+    mx = means2d[:, 0].astype(jnp.float32)
+    my = means2d[:, 1].astype(jnp.float32)
+    no_cull = (
+        (jnp.abs(mx) > 1023.0) | (jnp.abs(my) > 1023.0)
+        | (big_a > 1022.0) | ~jnp.isfinite(big_a) | ~jnp.isfinite(vx)
+        | ~jnp.isfinite(vy)
     )
-    qmin = jnp.where(inside, 0.0, qmin)
-    cull = valid & (qmin > tqe + 1e-2)     # margin: keep when borderline
 
-    trash = jnp.uint32(n_tiles) << shift
-    rank_mask = jnp.uint32((1 << shift) - 1)
-    new_key = jnp.where(cull, trash | (key_u & rank_mask), key_u)
-    return jax.lax.bitcast_convert_type(new_key, jnp.int32)
+    def q_mid(x):      # 0.5-px grid, offset-2048 12-bit
+        return jnp.clip(jnp.round(x * 2.0) + 2048.0, 0, 4095)
+
+    def q_out(x):      # outward rounding: the capsule/circle only grow
+        return jnp.clip(
+            jnp.sign(x) * jnp.ceil(jnp.abs(x) * 2.0) + 2048.0, 0, 4095
+        )
+
+    b_enc = jnp.clip(jnp.ceil(big_b * 2.0) + 1.0, 0, 4095)  # +0.5 px cushion
+    ch0 = q_mid(mx) * 4096.0 + q_mid(my)
+    ch1 = q_out(vx) * 4096.0 + q_out(vy)
+    ch2 = b_enc * 4096.0 + no_cull.astype(jnp.float32)
+    return jnp.stack([ch0, ch1, ch2], axis=1).astype(jnp.int32)

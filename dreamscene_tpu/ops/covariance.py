@@ -8,6 +8,7 @@ per-axis scale vector.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dreamscene_tpu.ops.quaternion import quaternion_to_matrix
@@ -30,8 +31,6 @@ def build_covariance_3d(
 ) -> jnp.ndarray:
     """Sigma = L @ L^T with L = R @ diag(scale_modifier * scales)."""
     l = build_scaling_rotation(scales * scale_modifier, q)
-    import jax
-
     return jnp.matmul(l, jnp.swapaxes(l, -1, -2),
                       precision=jax.lax.Precision.HIGHEST)
 

@@ -40,8 +40,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-W_ROWS = 8        # window table rows: offsets, d_basenx, d_offs, d_gid, pad
+W_ROWS = 8        # rows: offsets, d_basenx, d_offs, d_gid, ones, 3 capsule
 EXPAND_NBUF = 2   # window-stream double buffering
+CAP_HW = 7.8      # tile half-extent for the cull test: 7.5 px + 0.3 px
+                  # absorbing the 0.5-px quantized ellipse mid (+-0.25)
 
 
 def _expand_kernel(
@@ -53,7 +55,7 @@ def _expand_kernel(
     key_hbm, gid_hbm,
     # scratch
     wbuf_ref, wsem_ref, kbuf_ref, gbuf_ref, osem_ref,
-    *, block, wsize, n, n_tiles, tiles_x, shift,
+    *, block, wsize, n, n_tiles, tiles_x, shift, rank_drop, use_cull,
 ):
     n_blocks = w0a_ref.shape[0]
 
@@ -107,7 +109,8 @@ def _expand_kernel(
 
         # acc rows: 0 = unused (offsets row summed by mask — ignore),
         # 1..3 = masked delta sums; count of mask-true rows is row 4
-        # (ones). Reconstruct absolute values.
+        # (ones); 5..7 = capsule channel delta sums (use_cull).
+        # Reconstruct absolute values.
         w0a_f = w0a_ref[b].astype(jnp.float32)
         drank = (w0a_f - 1.0) + acc[4:5, :]                  # [1, B]
         basenx = base_ref[b, 0].astype(jnp.float32) + acc[1:2, :]
@@ -122,6 +125,75 @@ def _expand_kernel(
         qy = jnp.floor(slot_e / gnx)
         tile = base_t + qy * jnp.float32(tiles_x) + (slot_e - qy * gnx)
         valid = e_row < nent_ref[0].astype(jnp.float32)
+
+        if use_cull:
+            # conservative capsule+circle cull (see binning
+            # _capsule_params): entries whose tile cannot reach
+            # alpha >= 1/255 are re-keyed to the trash tile. All three
+            # channels are exact integers reconstructed by the window
+            # matmul; unpack is exact (power-of-two divides).
+            ch0 = base_ref[b, 3].astype(jnp.float32) + acc[5:6, :]
+            ch1 = base_ref[b, 4].astype(jnp.float32) + acc[6:7, :]
+            ch2 = base_ref[b, 5].astype(jnp.float32) + acc[7:8, :]
+            e0c = jnp.floor(ch0 * (1.0 / 4096.0))
+            midx = (e0c - 2048.0) * 0.5
+            midy = (ch0 - e0c * 4096.0 - 2048.0) * 0.5
+            e1c = jnp.floor(ch1 * (1.0 / 4096.0))
+            vx = (e1c - 2048.0) * 0.5
+            vy = (ch1 - e1c * 4096.0 - 2048.0) * 0.5
+            e2c = jnp.floor(ch2 * (1.0 / 4096.0))
+            big_b = e2c * 0.5
+            no_cull = (ch2 - e2c * 4096.0) > 0.5
+            ty = jnp.floor(tile * (1.0 / jnp.float32(tiles_x)))
+            tx = tile - ty * jnp.float32(tiles_x)
+            dx = tx * 16.0 + 7.5 - midx
+            dy = ty * 16.0 + 7.5 - midy
+            v2 = vx * vx + vy * vy
+            av = jnp.abs(vx) + jnp.abs(vy)
+            dotv = dx * vx + dy * vy
+            dotn = dy * vx - dx * vy
+            # EXACT ellipse-vs-tile box-min, sqrt-free from (v, B):
+            # the level set Q(d) = tq is E(d) = 1 with
+            #   E(d) = (v.d)^2/v2^2 + (v x d)^2/(v2*B^2),  v2 = |v|^2.
+            # Min of the PD quadratic E over the (enlarged) tile box:
+            # 0 if the mid lies inside, else the min over the four
+            # edges, each a 1D quadratic clamped at its vertex. A and B
+            # are quantized UP and the box half-extent is CAP_HW
+            # (> 7.5, absorbing the 0.5-px mid grid), so cull keeps a
+            # strict superset of the kernel's nonzero entries.
+            v2g = jnp.maximum(v2, 0.25)
+            iv2 = 1.0 / v2g
+            ib2 = 1.0 / jnp.maximum(big_b * big_b, 0.25)
+            ea = (vx * vx * iv2 + vy * vy * ib2) * iv2
+            eb = (vx * vy * iv2 - vx * vy * ib2) * iv2
+            ec = (vy * vy * iv2 + vx * vx * ib2) * iv2
+            lxe = dx - CAP_HW
+            uxe = dx + CAP_HW
+            lye = dy - CAP_HW
+            uye = dy + CAP_HW
+            inside = (lxe <= 0.0) & (uxe >= 0.0) & (lye <= 0.0) & (uye >= 0.0)
+
+            def emin_edge_x(cst):
+                dye = jnp.clip(-eb * cst / jnp.maximum(ec, 1e-30), lye, uye)
+                return ea * cst * cst + 2.0 * eb * cst * dye + ec * dye * dye
+
+            def emin_edge_y(cst):
+                dxe = jnp.clip(-eb * cst / jnp.maximum(ea, 1e-30), lxe, uxe)
+                return ea * dxe * dxe + 2.0 * eb * dxe * cst + ec * cst * cst
+
+            emin = jnp.minimum(
+                jnp.minimum(emin_edge_x(lxe), emin_edge_x(uxe)),
+                jnp.minimum(emin_edge_y(lye), emin_edge_y(uye)),
+            )
+            emin = jnp.where(inside, 0.0, emin)
+            # rotation-aware threshold: quantizing v rotates the
+            # reconstructed major axis by eps <= ~0.71/|v|, which
+            # inflates E at true-ellipse points by up to
+            # A^2*eps^2/B^2 ~= 0.5/B^2 for needle splats — keep any
+            # entry within that bound (plus fp slop)
+            thresh = 1.001 + 0.55 * ib2
+            valid = valid & (no_cull | (emin <= thresh))
+
         tile_i = jnp.where(valid, tile.astype(jnp.int32), n_tiles)
         drank_i = jnp.clip(drank.astype(jnp.int32), 0, n - 1)
         gid_i = jnp.clip(gid.astype(jnp.int32), 0, n - 1)
@@ -138,7 +210,9 @@ def _expand_kernel(
                     osem_ref.at[oslot, r],
                 ).wait()
 
-        kbuf_ref[oslot] = (tile_i << shift) | drank_i
+        # rank_drop > 0: low rank bits leave the key (see binning —
+        # stable sort + rank-major expansion keeps exact depth order)
+        kbuf_ref[oslot] = (tile_i << shift) | (drank_i >> rank_drop)
         gbuf_ref[oslot] = gid_i
         pltpu.make_async_copy(
             kbuf_ref.at[oslot], key_hbm.at[:, pl.ds(b * block, block)],
@@ -166,7 +240,7 @@ def _expand_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("capacity", "n", "n_tiles", "tiles_x", "shift",
-                     "block", "interpret"),
+                     "rank_drop", "block", "interpret"),
 )
 def expand_entries(
     offsets: jnp.ndarray,    # [N] i32 exclusive entry offsets, rank order
@@ -178,6 +252,8 @@ def expand_entries(
     n_tiles: int,
     tiles_x: int,
     shift: int,
+    rank_drop: int = 0,
+    caps: jnp.ndarray | None = None,   # [N, 3] i32 capsule channels
     block: int = 2048,
     interpret: bool = False,
 ):
@@ -205,11 +281,12 @@ def expand_entries(
         return d.astype(jnp.float32)
 
     n_pad = (-(-n // 128)) * 128 + wsize
-    rows = jnp.stack(
-        [offs_c, delta(basenx), delta(offsets), delta(perm),
-         jnp.ones((n,), jnp.float32)],
-        axis=0,
-    )                                                        # [5, N]
+    row_list = [offs_c, delta(basenx), delta(offsets), delta(perm),
+                jnp.ones((n,), jnp.float32)]
+    use_cull = caps is not None
+    if use_cull:
+        row_list += [delta(caps[:, j]) for j in range(3)]
+    rows = jnp.stack(row_list, axis=0)                       # [5 or 8, N]
     win = jnp.zeros((W_ROWS, n_pad), jnp.float32)
     win = jax.lax.dynamic_update_slice(win, rows, (0, 0))
     # pad offsets row with capacity so guard rows never enter the mask
@@ -226,16 +303,20 @@ def expand_entries(
     wlive = jnp.clip(-(-(ws_end - w0a) // 128), 1, wsize // 128)
     base_idx = jnp.maximum(w0a - 1, 0)
     zero_base = (w0a == 0)
-    base = jnp.stack(
-        [jnp.where(zero_base, 0, basenx[base_idx]),
-         jnp.where(zero_base, 0, offsets[base_idx]),
-         jnp.where(zero_base, 0, perm[base_idx])],
-        axis=1,
-    ).astype(jnp.int32)                                      # [n_blocks, 3]
+    base_cols = [jnp.where(zero_base, 0, basenx[base_idx]),
+                 jnp.where(zero_base, 0, offsets[base_idx]),
+                 jnp.where(zero_base, 0, perm[base_idx])]
+    if use_cull:
+        base_cols += [jnp.where(zero_base, 0, caps[base_idx, j])
+                      for j in range(3)]
+    else:
+        base_cols += [jnp.zeros_like(base_cols[0])] * 3
+    base = jnp.stack(base_cols, axis=1).astype(jnp.int32)   # [n_blocks, 6]
 
     kernel = functools.partial(
         _expand_kernel, block=block, wsize=wsize, n=n, n_tiles=n_tiles,
-        tiles_x=tiles_x, shift=shift,
+        tiles_x=tiles_x, shift=shift, rank_drop=rank_drop,
+        use_cull=use_cull,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -27,3 +27,15 @@ def u16_row_gather(src, idx):
     return jax.lax.bitcast_convert_type(
         g.reshape(idx.shape[0], w, 2), jnp.float32
     )
+
+
+def u16_row_gather_i32(src, idx):
+    """Exact i32 row gather through the same uint16-pair fast path."""
+    n, w = src.shape
+    s16 = jax.lax.bitcast_convert_type(
+        src.astype(jnp.int32), jnp.uint16
+    ).reshape(n, 2 * w)
+    g = s16[idx]
+    return jax.lax.bitcast_convert_type(
+        g.reshape(idx.shape[0], w, 2), jnp.int32
+    )

@@ -23,7 +23,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dreamscene_tpu.ops.covariance import build_covariance_3d
 from dreamscene_tpu.ops.sh import eval_sh
 
 NEAR_CULL_Z = 0.2          # CUDA preprocess near-plane cull

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from dreamscene_tpu.ops.binning import TILE, TILE_PIX, bin_splats, cdiv
+from dreamscene_tpu.ops.binning import TILE, bin_splats, cdiv
 from dreamscene_tpu.ops.composite import (
     ACC_ROWS,
     N_LIVE_FIELDS,
@@ -112,20 +112,22 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         out, g_out, n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
         interpret=interpret,
     )                                             # [16, n_chunks*chunk]
-    # NOTE on gather formulation (measured, v5e): XLA-TPU gather cost is
-    # dominated by SOURCE table size, and the u16-pair trick only wins on
-    # small sources — from the 300K-row record table it is 5x faster
-    # (_gather above), but from this 1.7M-row grad table the u16 form is
-    # SLOWER (12.8 ms fused / 19.6 ms materialized vs 7.7 ms for the
-    # plain f32 transpose+gather fusion; scripts/micro_gather4.py). Keep
-    # the f32 fusion here.
-    # slice to the live fields BEFORE the expensive chain: rows
-    # N_LIVE_FIELDS..REC_WIDTH-1 of the grad table are structurally zero
-    # (kernel pads them for 8-aligned sublane DMA) and the transpose,
-    # gather and cumsum below are all bandwidth-bound.
-    grec = jnp.transpose(grec_t[:N_LIVE_FIELDS])  # [n_chunks*chunk, 10]
+    # Gather formulation (measured, v5e): XLA-TPU gather cost here is
+    # ~7 ns per OUTPUT row for f32 rows but ~5x cheaper for 16-bit
+    # element types; a plain f32 gather of the 1.2M expansion rows costs
+    # 7.7 ms. So the f32 grad rows are split into EXACT bf16 hi/lo pairs
+    # (hi+lo reproduces g to 16 mantissa bits, ~2^-17 relative — far
+    # inside the 2e-4 grad-parity budget) and gathered as two bf16
+    # tables. Rows past N_LIVE_FIELDS are structurally zero (kernel pads
+    # for 8-aligned sublane DMA) and sliced off first.
+    g10 = grec_t[:N_LIVE_FIELDS]                  # [10, n_chunks*chunk]
+    ghi = g10.astype(jnp.bfloat16)
+    glo = (g10 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi_rows = jnp.transpose(ghi)                  # [n_chunks*chunk, 10]
+    lo_rows = jnp.transpose(glo)
     capacity = pos_of_entry.shape[0]
-    grec_e = grec[pos_of_entry]                   # [capacity, 10] expansion
+    grec_e = (hi_rows[pos_of_entry].astype(jnp.float32)
+              + lo_rows[pos_of_entry].astype(jnp.float32))
     # zero rows past the live entries: segments are CONSECUTIVE in
     # expansion order (ends[r] == starts[r+1] up to dropped entries,
     # which are exactly the zeroed rows), so one boundary gather at
@@ -144,7 +146,7 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         (seg_starts > 0)[:, None],
         csum[jnp.clip(seg_starts - 1, 0, capacity - 1)],
         0.0,
-    )                                             # [N, 16] (1.2M-row src:
+    )                                  # [N, N_LIVE_FIELDS] (1.2M-row src:
     top = jnp.concatenate([bot[1:], csum[-1:]], axis=0)  # f32 beats u16)
     grad_rank = top - bot                 # [N, N_LIVE_FIELDS] rank order
     grad_n = _u16_row_gather(grad_rank, inv_perm)  # 300K-row src: u16 wins

@@ -10,6 +10,7 @@ All functions are pure jnp, shape-polymorphic, and jit/vmap friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -113,8 +114,6 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     basis = sh_basis(deg, dirs)  # [..., K']
     # HIGHEST: TPU's default bf16 einsum rounds colors ~0.4% (CUDA
     # evaluates SH in fp32); K<=25 dots, cost negligible
-    import jax
-
     return jnp.einsum("...ck,...k->...c", sh[..., :coeffs], basis,
                       precision=jax.lax.Precision.HIGHEST)
 

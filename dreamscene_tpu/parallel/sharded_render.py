@@ -24,7 +24,6 @@ Adam) for the multi-chip dry-run and pod-scale training.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

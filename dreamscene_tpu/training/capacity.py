@@ -33,8 +33,12 @@ class CapacityController:
     shrink_patience: int = 50
     _fit_streak: int = 0
 
+    # the Pallas expand kernel's f32-exact window math requires
+    # capacity < 2^24 (ops/expand.py); never grow past it
+    HARD_CAP = (1 << 24) - 1
+
     def capacity(self, n: int) -> int:
-        return self.mult * n
+        return min(self.mult * n, self.HARD_CAP)
 
     def update(self, n: int, n_entries: int, n_dropped: int) -> bool:
         """Feed one step's stats; returns True when the multiplier
@@ -42,9 +46,9 @@ class CapacityController:
         cap = self.capacity(n)
         total = n_entries + n_dropped
         if n_dropped > self.grow_frac * max(total, 1):
-            if self.mult < self.max_mult:
+            self._fit_streak = 0   # overflow always breaks the hysteresis
+            if self.mult < self.max_mult and 2 * self.mult * n <= self.HARD_CAP:
                 self.mult *= 2
-                self._fit_streak = 0
                 return True
             return False
         if total <= (cap // 2) * self.headroom:

@@ -28,7 +28,6 @@ Faithful semantics ported:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import os
 from pathlib import Path
@@ -50,7 +49,7 @@ from dreamscene_tpu.models.gaussians import (
 )
 from dreamscene_tpu.models.init import init_object_points
 from dreamscene_tpu.models.ply import load_splat_ply, save_splat_ply
-from dreamscene_tpu.rendering import RenderAug, object_render, sample_aug
+from dreamscene_tpu.rendering import object_render, sample_aug
 from dreamscene_tpu.utils.experiment import setup_experiment_logging
 from dreamscene_tpu.utils.media import write_video
 
@@ -298,14 +297,20 @@ class ObjectTrainer:
                     images.append(out["image"])
                     depths.append(disp[None])
                     alphas.append(out["alpha"][None])
+                    # capacity feedback must see the step's PEAK camera,
+                    # not just the last one — a close-up that overflows
+                    # while the final camera fits would otherwise never
+                    # grow the table (and vice versa for shrink)
+                    aux_out["n_entries"] = jnp.maximum(
+                        aux_out.get("n_entries", 0), out["n_entries"])
+                    aux_out["n_dropped"] = jnp.maximum(
+                        aux_out.get("n_dropped", 0), out["n_dropped"])
                     if i == c_batch - 1:
                         aux_out["radii"] = out["radii"]
                         aux_out["visible"] = out["visibility_filter"]
                         aux_out["scales_mean"] = jnp.sum(
                             scales * active[:, None]
                         ) / (jnp.sum(active) * 3.0)
-                        aux_out["n_entries"] = out["n_entries"]
-                        aux_out["n_dropped"] = out["n_dropped"]
 
                 images = jnp.stack(images)            # [B,3,H,W]
                 depths = jnp.stack(depths)            # [B,1,H,W]
@@ -695,16 +700,23 @@ class ObjectTrainer:
         """Orbit rgb + depth videos (reference object_trainer.py:81-115
         saves video_rgb_*.mp4 and video_depth_*.mp4)."""
         cams = S.load_clip_cam(self.pose_args)
-        frames, dframes = [], []
+        frames, depths, alphas = [], [], []
         for cam in cams:
             out = object_render(self.state, cam, bg_color=(1, 1, 1), test=True,
                                 interpret=self.interpret)
             img = np.asarray(jnp.clip(out["image"], 0, 1))
             frames.append((np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8))
-            d = np.asarray(out["depth"])
+            # un-premultiply: "depth" is the alpha-weighted accumulation
             a = np.asarray(out["alpha"])
-            lo = d[a > 0.5].min() if (a > 0.5).any() else 0.0
-            hi = d.max() + 1e-6
+            depths.append(np.asarray(out["depth"]) / np.maximum(a, 1e-6))
+            alphas.append(a)
+        # one normalization window for the WHOLE orbit (per-frame windows
+        # make static surfaces flicker between frames)
+        fg = [d[a > 0.5] for d, a in zip(depths, alphas) if (a > 0.5).any()]
+        lo = min((f.min() for f in fg), default=0.0)
+        hi = max((f.max() for f in fg), default=1.0) + 1e-6
+        dframes = []
+        for d, a in zip(depths, alphas):
             dn = np.clip((d - lo) / (hi - lo), 0, 1) * (a > 0.1)
             dframes.append(
                 np.repeat((dn * 255).astype(np.uint8)[..., None], 3, -1))

@@ -35,9 +35,6 @@ from dreamscene_tpu.cameras.scene_sampling import SceneCameraLoader
 from dreamscene_tpu.guidance import mtsd
 from dreamscene_tpu.models import densify as D
 from dreamscene_tpu.models.gaussians import (
-    GaussianAux,
-    GaussianState,
-    adam_init,
     adam_update,
     create_from_points,
     group_lrs,
@@ -46,7 +43,6 @@ from dreamscene_tpu.models.gaussians import (
 from dreamscene_tpu.models.init import init_env_points, init_floor_points
 from dreamscene_tpu.models.ply import load_splat_ply, save_splat_ply
 from dreamscene_tpu.models.scene import (
-    ObjectArgs,
     SceneModel,
     final_combine_all,
     place_object,
@@ -424,11 +420,16 @@ class SceneTrainer:
                     images.append(out["image"])
                     depths.append(disp[None])
                     alphas.append(out["alpha"][None])
+                    # capacity feedback: take the step's PEAK camera
+                    # (see object_trainer — last-camera-only sampling
+                    # makes grow blind to overflowing close-ups)
+                    aux_out["n_entries"] = jnp.maximum(
+                        aux_out.get("n_entries", 0), out["n_entries"])
+                    aux_out["n_dropped"] = jnp.maximum(
+                        aux_out.get("n_dropped", 0), out["n_dropped"])
                     if i == c_batch - 1:
                         aux_out["radii"] = out["radii"]
                         aux_out["visible"] = out["visibility_filter"]
-                        aux_out["n_entries"] = out["n_entries"]
-                        aux_out["n_dropped"] = out["n_dropped"]
 
                 images = jnp.stack(images)
                 depths = jnp.stack(depths)

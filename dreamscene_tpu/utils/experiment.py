@@ -63,11 +63,29 @@ def setup_experiment_logging(exp_path: str | Path, cfg=None) -> Path:
         ))
         logger.addHandler(fh)
         if logger.level in (logging.NOTSET, logging.WARNING):
+            # the file sink needs the logger to pass DEBUG records, but
+            # lowering the logger level must not flood OTHER handlers:
+            # pin any level-less root handlers to their current
+            # effective threshold first
+            eff = logger.getEffectiveLevel()
+            for rh in logging.getLogger().handlers:
+                if rh.level == logging.NOTSET:
+                    rh.setLevel(eff if eff != logging.NOTSET
+                                else logging.WARNING)
             logger.setLevel(logging.DEBUG)
 
     if cfg is not None:
+        # write-once per PROCESS and experiment: a scene run constructs
+        # one ObjectTrainer per object with per-object cfg mutations —
+        # the snapshot must keep recording the config that STARTED this
+        # run (a fresh process re-records over a stale snapshot)
         snap = exp_path / "config_snapshot.yaml"
-        with open(snap, "w") as f:
-            yaml.safe_dump(_to_plain(cfg), f, sort_keys=False)
-        logger.debug("config snapshot written to %s", snap)
+        if str(snap) not in _SNAPSHOTTED:
+            _SNAPSHOTTED.add(str(snap))
+            with open(snap, "w") as f:
+                yaml.safe_dump(_to_plain(cfg), f, sort_keys=False)
+            logger.debug("config snapshot written to %s", snap)
     return log_file
+
+
+_SNAPSHOTTED: set[str] = set()

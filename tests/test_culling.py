@@ -1,4 +1,5 @@
-"""Ellipse-vs-tile entry culling (ops/binning._cull_entries).
+"""Ellipse-vs-tile entry culling (binning._capsule_params + the
+in-kernel test in ops/expand.py).
 
 The cull predicate must be EXACTLY conservative: an entry may only be
 re-keyed to the trash tile if the composite kernel would have masked it
@@ -51,38 +52,55 @@ def _project(scene, cam, wh=48):
     )
 
 
-def test_cull_predicate_exactly_conservative():
-    scene = _scene()
+def _tile_entry_sets(b, n_tiles):
+    """tile -> set of splat ids with a LIVE entry in that tile, from the
+    chunk metadata + sorted gid table."""
+    out = {}
+    tiles = np.asarray(b.chunk_tile)
+    s0 = np.asarray(b.chunk_s0)
+    lo = np.asarray(b.chunk_lo)
+    hi = np.asarray(b.chunk_hi)
+    gid = np.asarray(b.gid_sorted)
+    for u in range(int(b.n_chunks_used)):
+        t = int(tiles[u])
+        if t >= n_tiles:
+            continue
+        sl = gid[s0[u] + lo[u]: s0[u] + hi[u]]
+        out.setdefault(t, set()).update(int(g) for g in sl)
+    return out
+
+
+@pytest.mark.parametrize("aniso,seed", [(0.9, 0), (1.6, 3), (0.2, 7)])
+def test_cull_predicate_exactly_conservative(aniso, seed):
+    """Every (splat, tile) entry removed by the in-kernel ellipse cull
+    must be provably zero: brute-force the kernel's alpha over all 256
+    pixels of the tile. Needle scenes (aniso=1.6) stress the
+    rotation-aware threshold. Also: culling must only REMOVE entries."""
+    scene = _scene(seed=seed, aniso=aniso)
     cam = make_camera(48, 48)
     sp = _project(scene, cam)
     cap = 8 * 300
+    kw = dict(capacity=cap, chunk=128, interpret=True)
+    b_nc = B.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible,
+                        48, 48, **kw)
+    b_c = B.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible,
+                       48, 48, conics=sp.conics, opacities=sp.opacities,
+                       **kw)
+    n_tiles = 9
+    nc = _tile_entry_sets(b_nc, n_tiles)
+    c = _tile_entry_sets(b_c, n_tiles)
+    culled = []
+    for t, gids in nc.items():
+        kept = c.get(t, set())
+        assert kept <= gids, f"cull ADDED entries to tile {t}"
+        culled += [(g, t) for g in gids - kept]
+    assert len(culled) > 5, "scene should exercise culling"
 
-    spied = {}
-    orig = B._cull_entries
-
-    def spy(key, gid, means2d, conics, opacities, **kw):
-        new = orig(key, gid, means2d, conics, opacities, **kw)
-        spied.update(key=np.asarray(key), new=np.asarray(new),
-                     gid=np.asarray(gid), **kw)
-        return new
-
-    B._cull_entries = spy
-    try:
-        B.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible, 48, 48,
-                     capacity=cap, chunk=128, conics=sp.conics,
-                     opacities=sp.opacities, interpret=True)
-    finally:
-        B._cull_entries = orig
-
-    culled = np.nonzero(spied["key"] != spied["new"])[0]
-    assert len(culled) > 20, "scene should exercise culling"
     mx, my = np.asarray(sp.means2d).T
     ca, cb, cc = np.asarray(sp.conics).T
     opa = np.asarray(sp.opacities)
-    shift, tiles_x = spied["shift"], spied["tiles_x"]
-    for e in culled:
-        t = int(spied["key"][e].astype(np.uint32) >> shift)
-        g = spied["gid"][e]
+    tiles_x = 3
+    for g, t in culled:
         x0, y0 = (t % tiles_x) * 16, (t // tiles_x) * 16
         px, py = np.meshgrid(
             np.arange(x0, x0 + 16, dtype=np.float32),
@@ -92,7 +110,7 @@ def test_cull_predicate_exactly_conservative():
         power = -0.5 * (ca[g] * dx * dx + cc[g] * dy * dy) - cb[g] * dx * dy
         raw = opa[g] * np.exp(np.minimum(power, 0.0))
         assert not ((power <= 0) & (raw >= ALPHA_MIN)).any(), (
-            f"culled entry {e} (splat {g}, tile {t}) contributes "
+            f"culled entry (splat {g}, tile {t}) contributes "
             f"raw={raw.max()}"
         )
 
@@ -112,3 +130,25 @@ def test_culled_render_matches_golden():
     ref = render_reference(**scene, **common)
     assert float(jnp.abs(out["image"] - ref["image"]).max()) < 1e-3
     assert float(jnp.abs(out["alpha"] - ref["alpha"]).max()) < 1e-3
+
+
+def test_coarse_rank_key_order_invariant():
+    """When tile+rank bits exceed 32 the sort key drops low rank bits
+    (binning step 3); the STABLE sort + rank-major expansion order must
+    keep results bit-identical to the full-key path."""
+    import dreamscene_tpu.ops.binning as B2
+    scene = _scene(seed=2, aniso=0.5)
+    cam = make_camera(48, 48)
+    sp = _project(scene, cam)
+    kw = dict(capacity=8 * 300, chunk=128, conics=sp.conics,
+              opacities=sp.opacities, interpret=True)
+    b_full = B2.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible,
+                           48, 48, **kw)
+    b_coarse = B2.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible,
+                             48, 48, rank_drop_override=5, **kw)
+    for field in ["gid_sorted", "chunk_tile", "chunk_s0", "chunk_lo",
+                  "chunk_hi", "chunk_first", "pos_of_entry", "n_entries",
+                  "n_chunks_used"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b_full, field)),
+            np.asarray(getattr(b_coarse, field)), err_msg=field)
