@@ -721,19 +721,38 @@ class SceneTrainer:
 
     # ------------------------------------------------------------------
     def scene_video_inference(self, tag, only_env=False, max_frames=None):
+        """Walkthrough rgb + depth videos (reference scene_trainer.py:
+        262-295 saves video_rgb_scene_* and video_depth_scene_*)."""
         from dreamscene_tpu.rendering import scene_render
 
         states = self._states(self._visible_names(only_env))
-        frames = []
+        frames, depths, alphas = [], [], []
         cams = self.scene_cams_inference[:max_frames]
         for cam in cams:
             out = scene_render(states, cam, bg_color=self.bg_color, test=True,
                                interpret=self.interpret)
             img = np.asarray(jnp.clip(out["image"], 0, 1))
             frames.append((np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8))
+            a = np.asarray(out["alpha"])
+            depths.append(np.asarray(out["depth"]) / np.maximum(a, 1e-6))
+            alphas.append(a)
         if frames:
             write_video(str(self.vis_path / f"video_rgb_scene_{tag}.mp4"),
                         frames)
+            # one normalization window across the walkthrough (per-frame
+            # windows make static geometry flicker)
+            fg = [d[a > 0.5] for d, a in zip(depths, alphas)
+                  if (a > 0.5).any()]
+            lo = min((f.min() for f in fg), default=0.0)
+            hi = max((f.max() for f in fg), default=1.0) + 1e-6
+            dframes = [
+                np.repeat((np.clip((d - lo) / (hi - lo), 0, 1)
+                           * (a > 0.1) * 255).astype(np.uint8)[..., None],
+                          3, -1)
+                for d, a in zip(depths, alphas)
+            ]
+            write_video(str(self.vis_path / f"video_depth_scene_{tag}.mp4"),
+                        dframes)
 
     # ------------------------------------------------------------------
     def train(self, n_stage3: int = 25, make_videos: bool = False,
