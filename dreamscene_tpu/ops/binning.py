@@ -122,14 +122,52 @@ def bin_splats(
     depths_sg = jax.lax.stop_gradient(depths)
 
     # 1. touched-tile rects in ORIGINAL order (all elementwise).
-    # CUDA getRect semantics (rect of tiles covering mean +- radius).
+    # CUDA getRect semantics (rect of tiles covering mean +- radius) —
+    # tightened per-axis to the ellipse's axis-aligned bounding box at
+    # the alpha = 1/255 level when conics/opacities are available:
+    # hx = sqrt(tq * cov_xx) with cov = conic^-1, tq = 2*log(255*opa).
+    # Tiles beyond the AABB are zero contributors (raw < ALPHA_MIN or
+    # outside the reference's square rect), so this is result-neutral
+    # while, unlike the post-expansion cull, it happens BEFORE the
+    # capacity cut — anisotropic and low-opacity splats stop consuming
+    # entry slots at all (opa < 1/255 splats vanish from binning).
     mx, my = means2d[:, 0], means2d[:, 1]
     r = radii.astype(jnp.float32)
-    vis = visible.astype(bool)
+    if conics is not None and opacities is not None:
+        ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+        tq = 2.0 * jnp.log(
+            255.0 * jnp.maximum(opacities.astype(jnp.float32), 1e-30)
+        )
+        det = jnp.maximum(ca * cc - cb * cb, 1e-24)
+        tq_pos = jnp.maximum(tq, 0.0)
+        # +0.6 px: fp slop + the half-open pixel-vs-rect convention
+        hx = jnp.sqrt(tq_pos * jnp.maximum(cc, 0.0) / det) + 0.6
+        hy = jnp.sqrt(tq_pos * jnp.maximum(ca, 0.0) / det) + 0.6
+        vis_extra = tq > 0   # opa < 1/255 never passes ALPHA_MIN: 0 entries
+    else:
+        hx = hy = None
+        vis_extra = True
+    vis = visible.astype(bool) & vis_extra
+    # the contract rect (must never be EXCEEDED: the golden zeroes tiles
+    # outside it by fiat, so extra tiles would ADD contributions)
     x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    if hx is not None:
+        # intersect with the ellipse AABB using mathematically-INCLUSIVE
+        # tile ends (the CUDA-replica `floor((E + 15)/16)` end formula
+        # under-includes fractional ends — only consistent when both
+        # sides use the same extent, so the tightened axes must include
+        # the tile containing mx +- hx outright)
+        x0 = jnp.maximum(x0, jnp.clip(
+            jnp.floor((mx - hx) / TILE), 0, tiles_x).astype(jnp.int32))
+        y0 = jnp.maximum(y0, jnp.clip(
+            jnp.floor((my - hy) / TILE), 0, tiles_y).astype(jnp.int32))
+        x1 = jnp.minimum(x1, jnp.clip(
+            jnp.floor((mx + hx) / TILE) + 1, 0, tiles_x).astype(jnp.int32))
+        y1 = jnp.minimum(y1, jnp.clip(
+            jnp.floor((my + hy) / TILE) + 1, 0, tiles_y).astype(jnp.int32))
     nx = jnp.where(vis, x1 - x0, 0)
     ny = jnp.where(vis, y1 - y0, 0)
     count0 = nx * ny                                      # [N] original order

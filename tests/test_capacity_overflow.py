@@ -25,9 +25,13 @@ def _entry_layout(scene, kw, width, height):
         kw["viewmatrix"], kw["projmatrix"], kw["campos"],
         kw["tanfovx"], kw["tanfovy"], width, height, sh_degree=2,
     )
+    # conics/opacities: match render()'s binning exactly (AABB-tightened
+    # rects change the entry layout, so the expected drop boundary must
+    # be computed on the SAME layout)
     binned = bin_splats(
         splats.means2d, splats.depths, splats.radii, splats.visible,
-        width, height, capacity=64 * 1024, chunk=128, interpret=True,
+        width, height, capacity=64 * 1024, chunk=128,
+        conics=splats.conics, opacities=splats.opacities, interpret=True,
     )
     offsets = np.asarray(binned.seg_starts)
     counts = np.asarray(binned.surv_counts)
