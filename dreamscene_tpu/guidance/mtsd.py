@@ -384,8 +384,16 @@ class MTSD:
 def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
                        context_dim: int = 32, seed: int = 0,
                        with_controlnet: bool = False,
-                       downscale: int | None = None):
-    """Randomly-initialized miniature SD stack for tests/dry-runs.
+                       downscale: int | None = None,
+                       unet_config=None, vae_config=None,
+                       token_len: int = 4):
+    """Randomly-initialized SD stack for tests/dry-runs/benchmarks.
+
+    Defaults to the miniature configs; pass `unet_config`/`vae_config`
+    (e.g. sd21_unet_config() + VAEConfig()) for a FULL-SIZE random-init
+    stack whose compute cost is identical to real SD weights
+    (scripts/bench_fps_step.py uses this for the 50K-object FPS-loop
+    measurement, BASELINE.json measurement config #2).
 
     downscale: override the image->latent factor (default 2 from the
     2-block tiny VAE; pass 8 for SD-realistic latent shapes — used by the
@@ -404,9 +412,9 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
         tiny_vae_config,
     )
 
-    ucfg = tiny_unet_config()
-    vcfg = tiny_vae_config()
-    if downscale is not None:
+    ucfg = unet_config or tiny_unet_config()
+    vcfg = vae_config or tiny_vae_config()
+    if downscale is not None and vae_config is None:
         n_blocks = max(int(np.log2(downscale)), 0) + 1
         vcfg = _dc.replace(
             vcfg, block_out_channels=(32,) * n_blocks, layers_per_block=1
@@ -417,7 +425,7 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
     key = jax.random.key(seed)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     up = unet.init(k1, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
-                   jnp.zeros((1, 4, ucfg.cross_attention_dim)))
+                   jnp.zeros((1, token_len, ucfg.cross_attention_dim)))
     ep = enc.init(k2, jnp.zeros((1, 32, 32, 3)))
     dp = dec.init(k3, jnp.zeros((1, 8, 8, 4)))
     downscale = 2 ** (len(vcfg.block_out_channels) - 1)
@@ -427,7 +435,7 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
         cn = FlaxControlNet(ucfg, downscale=downscale)
         cn_params = cn.init(
             k4, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 4, ucfg.cross_attention_dim)),
+            jnp.zeros((1, token_len, ucfg.cross_attention_dim)),
             jnp.zeros((1, 8 * downscale, 8 * downscale, 3)),
         )
         cn_apply = cn.apply
@@ -455,7 +463,7 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
             if p not in emb_cache:
                 h = abs(hash(p)) % (2**31)
                 emb_cache[p] = np.random.default_rng(h).normal(
-                    size=(4, ucfg.cross_attention_dim)
+                    size=(token_len, ucfg.cross_attention_dim)
                 ).astype(np.float32)
             rows.append(emb_cache[p])
         return jnp.asarray(np.stack(rows))
