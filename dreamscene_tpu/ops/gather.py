@@ -39,3 +39,34 @@ def u16_row_gather_i32(src, idx):
     return jax.lax.bitcast_convert_type(
         g.reshape(idx.shape[0], w, 2), jnp.int32
     )
+
+
+def packed_row_gather_cols(src_t, idx, pack: int = 4):
+    """Exact row gather from a FIELD-MAJOR f32 table [W, M] at row
+    indices `idx` into [len(idx), W] — routed through a DENSE
+    [M/pack, pack*2W]-u16 packed table.
+
+    Rationale (TPU layout): a [M, 2W]-u16 row table is stored lane-padded
+    to 128 (`T(16,128)` tiling), so XLA's gather scans up to 4x the
+    payload bytes; packing `pack` records per row makes rows exactly
+    128 u16 lanes wide at W=16 — dense storage, pack-x fewer source rows —
+    and the record is then selected within the gathered row with pack-1
+    cheap lane selects. Bit-exact (u16 pairs reassemble the f32 bits).
+
+    Requires M % pack == 0 and pack * 2W == a lane-friendly width.
+    """
+    w, m = src_t.shape
+    assert m % pack == 0, (m, pack)
+    rows = jax.lax.bitcast_convert_type(
+        jnp.transpose(src_t), jnp.uint16
+    ).reshape(m // pack, pack * 2 * w)
+    g = rows[idx // pack]                       # [K, pack*2W] u16
+    sub = idx % pack
+    out = g[:, 0:2 * w]
+    for k in range(1, pack):
+        out = jnp.where(
+            (sub == k)[:, None], g[:, k * 2 * w:(k + 1) * 2 * w], out
+        )
+    return jax.lax.bitcast_convert_type(
+        out.reshape(idx.shape[0], w, 2), jnp.float32
+    )

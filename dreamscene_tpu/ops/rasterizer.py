@@ -39,7 +39,19 @@ from dreamscene_tpu.ops.composite import (
 from dreamscene_tpu.ops.projection import project_gaussians
 
 
-from dreamscene_tpu.ops.gather import u16_row_gather as _u16_row_gather
+import os
+
+from dreamscene_tpu.ops.gather import (
+    packed_row_gather_cols as _packed_row_gather_cols,
+    u16_row_gather as _u16_row_gather,
+)
+
+# Packed-row grad-table gather (ops/gather.packed_row_gather_cols):
+# bit-exact, candidate replacement for the bf16 hi/lo pair gather below —
+# flip after on-chip measurement (scripts/micro_gather5.py; ROADMAP
+# "Perf next" item 0). Env-gated so the measured default stays in effect
+# until the TPU tunnel lets us time it.
+_PACKED_GRAD_GATHER = os.environ.get("DS_PACKED_GRAD_GATHER") == "1"
 
 
 def _blocked_cumsum(x, block=128):
@@ -120,14 +132,20 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     # inside the 2e-4 grad-parity budget) and gathered as two bf16
     # tables. Rows past N_LIVE_FIELDS are structurally zero (kernel pads
     # for 8-aligned sublane DMA) and sliced off first.
-    g10 = grec_t[:N_LIVE_FIELDS]                  # [10, n_chunks*chunk]
-    ghi = g10.astype(jnp.bfloat16)
-    glo = (g10 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hi_rows = jnp.transpose(ghi)                  # [n_chunks*chunk, 10]
-    lo_rows = jnp.transpose(glo)
     capacity = pos_of_entry.shape[0]
-    grec_e = (hi_rows[pos_of_entry].astype(jnp.float32)
-              + lo_rows[pos_of_entry].astype(jnp.float32))
+    if _PACKED_GRAD_GATHER:
+        # dense [GT/4, 128]-u16 packed rows; bit-exact (no bf16 split)
+        grec_e = _packed_row_gather_cols(
+            grec_t, pos_of_entry, pack=4
+        )[:, :N_LIVE_FIELDS]
+    else:
+        g10 = grec_t[:N_LIVE_FIELDS]              # [10, n_chunks*chunk]
+        ghi = g10.astype(jnp.bfloat16)
+        glo = (g10 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi_rows = jnp.transpose(ghi)              # [n_chunks*chunk, 10]
+        lo_rows = jnp.transpose(glo)
+        grec_e = (hi_rows[pos_of_entry].astype(jnp.float32)
+                  + lo_rows[pos_of_entry].astype(jnp.float32))
     # zero rows past the live entries: segments are CONSECUTIVE in
     # expansion order (ends[r] == starts[r+1] up to dropped entries,
     # which are exactly the zeroed rows), so one boundary gather at
