@@ -70,3 +70,25 @@ def packed_row_gather_cols(src_t, idx, pack: int = 4):
     return jax.lax.bitcast_convert_type(
         out.reshape(idx.shape[0], w, 2), jnp.float32
     )
+
+
+def packed_row_gather_rows(src, idx, pack: int = 4):
+    """Exact f32 row gather from a ROW-MAJOR [N, W] table via the same
+    dense-packed-row trick as `packed_row_gather_cols` (no transpose —
+    the packed view is a plain reshape of the row-major bytes).
+    Requires N % pack == 0."""
+    n, w = src.shape
+    assert n % pack == 0, (n, pack)
+    rows = jax.lax.bitcast_convert_type(
+        src.astype(jnp.float32), jnp.uint16
+    ).reshape(n // pack, pack * 2 * w)
+    g = rows[idx // pack]
+    sub = idx % pack
+    out = g[:, 0:2 * w]
+    for k in range(1, pack):
+        out = jnp.where(
+            (sub == k)[:, None], g[:, k * 2 * w:(k + 1) * 2 * w], out
+        )
+    return jax.lax.bitcast_convert_type(
+        out.reshape(idx.shape[0], w, 2), jnp.float32
+    )

@@ -43,6 +43,7 @@ import os
 
 from dreamscene_tpu.ops.gather import (
     packed_row_gather_cols as _packed_row_gather_cols,
+    packed_row_gather_rows as _packed_row_gather_rows,
     u16_row_gather as _u16_row_gather,
 )
 
@@ -52,6 +53,7 @@ from dreamscene_tpu.ops.gather import (
 # "Perf next" item 0). Env-gated so the measured default stays in effect
 # until the TPU tunnel lets us time it.
 _PACKED_GRAD_GATHER = os.environ.get("DS_PACKED_GRAD_GATHER") == "1"
+_PACKED_REC_GATHER = os.environ.get("DS_PACKED_REC_GATHER") == "1"
 
 
 def _blocked_cumsum(x, block=128):
@@ -80,6 +82,8 @@ def _gather(rec_n, gid_pad):
     kernels DMA ([16, cap_pad]: lane-aligned [16, CHUNK] slices).
     Columns past `n_entries` gather arbitrary (real) rows — the kernels
     mask them by the per-chunk live window, so no select is needed."""
+    if _PACKED_REC_GATHER and rec_n.shape[0] % 4 == 0:
+        return jnp.transpose(_packed_row_gather_rows(rec_n, gid_pad, pack=4))
     return jnp.transpose(_u16_row_gather(rec_n, gid_pad))
 
 

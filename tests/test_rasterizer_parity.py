@@ -182,3 +182,15 @@ class TestPackedRowGather:
         for pack in (2, 4, 8):
             got = np.asarray(packed_row_gather_cols(src_t, idx, pack=pack))
             np.testing.assert_array_equal(got, want)
+
+    def test_packed_row_gather_rows_exact(self):
+        from dreamscene_tpu.ops.gather import packed_row_gather_rows
+
+        rng = np.random.RandomState(4)
+        n, w = 1024, 16
+        src = jnp.asarray(rng.randn(n, w).astype(np.float32) * 1e3)
+        idx = jnp.asarray(rng.randint(0, n, 321).astype(np.int32))
+        want = np.asarray(src)[np.asarray(idx)]
+        for pack in (2, 4, 8):
+            got = np.asarray(packed_row_gather_rows(src, idx, pack=pack))
+            np.testing.assert_array_equal(got, want)
