@@ -13,6 +13,7 @@ BASELINE.json "published": {}).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,6 +22,12 @@ N_GAUSSIANS = 300_000
 WIDTH = HEIGHT = 512
 ITERS = 10
 CUDA_NOMINAL_PIXPS = 26.2e6
+# Entry-table capacity multiplier. 4 (the recorded-baseline methodology)
+# saturates on this deliberately dense synthetic scene — the cut drops
+# the farthest ~40% of entries (graceful degradation; training uses the
+# adaptive CapacityController instead). BENCH_CAP_MULT=8 renders the
+# scene with zero drops for the honest-full-workload number (ROADMAP).
+CAP_MULT = int(os.environ.get("BENCH_CAP_MULT", 4))
 
 
 def build_scene(n, seed=0, sh_degree=2):
@@ -65,7 +72,7 @@ def main():
         projmatrix=jnp.asarray(cam.full_proj_transform),
         campos=jnp.asarray(cam.camera_center),
     )
-    capacity = 4 * N_GAUSSIANS
+    capacity = CAP_MULT * N_GAUSSIANS
 
     def loss_fn(params):
         out = render(
