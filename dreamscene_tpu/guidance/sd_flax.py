@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -98,6 +99,24 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+def _use_flash_attention(n: int, m: int) -> bool:
+    """Pallas TPU flash attention for big self-attention resolutions.
+
+    The naive path materializes [b, h, n, m] scores — at SD's 64x64
+    latent level (n = 4096, bf16, 3-way CFG batch) that is GBs of HBM
+    traffic per layer; the flash kernel streams K/V blocks and never
+    writes the matrix. Self-attention only (cross-attention kv is the
+    77-token text — the matrix is tiny and 77 breaks the 128-lane block
+    granularity). The guidance UNet is forward-only (CSD assembles
+    gradients algebraically; reference guidance/multitime_sd_utils.py
+    runs the UNet under no_grad), so only the fwd kernel is exercised.
+    """
+    if os.environ.get("DS_NO_FLASH_ATTN") == "1":
+        return False
+    return (n == m and n >= 1024 and n % 128 == 0
+            and jax.default_backend() == "tpu")
+
+
 class Attention(nn.Module):
     query_dim: int
     heads: int
@@ -118,9 +137,29 @@ class Attention(nn.Module):
         k = k.reshape(b, m, self.heads, self.head_dim)
         v = v.reshape(b, m, self.heads, self.head_dim)
         scale = self.head_dim**-0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        if _use_flash_attention(n, m):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
+
+            bq = bk = min(512, n)
+            blocks = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), sm_scale=scale,
+                block_sizes=blocks,
+            ).transpose(0, 2, 1, 3).reshape(b, n, inner).astype(self.dtype)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
@@ -424,11 +463,35 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        attn = jax.nn.softmax(
-            (q @ jnp.swapaxes(k, -1, -2)).astype(jnp.float32) * (c ** -0.5),
-            axis=-1,
-        ).astype(self.dtype)
-        y = nn.Dense(c, dtype=self.dtype, name="to_out_0")(attn @ v)
+        n = h * w
+        if _use_flash_attention(n, n):
+            # single head, head_dim = c; the VAE encoder IS differentiated
+            # (train_step backprops the CSD latent grad through encode) —
+            # the flash kernel's custom VJP covers that.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
+
+            bq = bk = min(512, n)
+            blocks = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
+            y = flash_attention(
+                q[:, None], k[:, None], v[:, None],
+                sm_scale=c ** -0.5, block_sizes=blocks,
+            )[:, 0].astype(self.dtype)
+        else:
+            attn = jax.nn.softmax(
+                (q @ jnp.swapaxes(k, -1, -2)).astype(jnp.float32)
+                * (c ** -0.5),
+                axis=-1,
+            ).astype(self.dtype)
+            y = attn @ v
+        y = nn.Dense(c, dtype=self.dtype, name="to_out_0")(y)
         return res + y.reshape(b, h, w, c)
 
 

@@ -37,6 +37,7 @@ degradation, reported via `n_dropped`).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -47,6 +48,13 @@ from dreamscene_tpu.ops.gather import u16_row_gather_i32
 
 TILE = 16          # pixels per tile side
 TILE_PIX = TILE * TILE
+
+# Candidate (ROADMAP "Perf next"): carry the 3 capsule-cull channels
+# through the depth sort as extra payload operands instead of the
+# rank-order row gather (measured ~2.0 ms at 300K; extra sort operands
+# measured ~0.2 ms each) — flip after on-chip A/B. Result-identical:
+# payloads ride the same stable sort.
+_CAPS_VIA_SORT = os.environ.get("DS_CAPS_VIA_SORT") == "1"
 
 
 def cdiv(a: int, b: int) -> int:
@@ -190,6 +198,10 @@ def bin_splats(
     )
     dkey = depth_bits | (jnp.uint32(1) << 31) * (count0 == 0).astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
+    use_cull = conics is not None and opacities is not None
+    caps_extra = ()
+    if use_cull and _CAPS_VIA_SORT:
+        caps_extra = _capsule_params(means2d, conics, opacities)
     # pack (basenx, count) into ONE u32 payload when the bit budget
     # allows (512^2: 18+11 bits) — a 3-operand 300K sort runs ~0.5 ms
     # faster than 4-operand on v5e
@@ -199,14 +211,15 @@ def bin_splats(
         packed0 = jax.lax.bitcast_convert_type(
             basenx0 << max_count_bits, jnp.uint32
         ) | count0.astype(jnp.uint32)
-        _, perm, packed = jax.lax.sort((dkey, idx, packed0), num_keys=1)
+        _, perm, packed, *caps_s = jax.lax.sort(
+            (dkey, idx, packed0, *caps_extra), num_keys=1)
         basenx = jax.lax.bitcast_convert_type(
             packed >> max_count_bits, jnp.int32)
         count = jax.lax.bitcast_convert_type(
             packed & jnp.uint32((1 << max_count_bits) - 1), jnp.int32)
     else:
-        _, perm, basenx, count = jax.lax.sort(
-            (dkey, idx, basenx0, count0), num_keys=1
+        _, perm, basenx, count, *caps_s = jax.lax.sort(
+            (dkey, idx, basenx0, count0, *caps_extra), num_keys=1
         )
     # invert the permutation with a second small sort (2-op sorts run at
     # ~0.4ms/300K on v5e; an equivalent int scatter measured 1.75ms)
@@ -236,13 +249,18 @@ def bin_splats(
     shift -= rank_drop
     assert shift >= 1, "image too large: tile bits alone exceed the key"
     caps = None
-    if conics is not None and opacities is not None:
+    if use_cull:
         # per-splat capsule channels for the IN-KERNEL entry cull: the
         # expand window table has 3 idle rows riding an already-paid
         # matmul, so the test data travels for free (the previous
         # XLA-side exact-Q cull paid a ~2 ms per-entry feature gather).
-        caps0 = _capsule_params(means2d, conics, opacities)  # [N,3] orig
-        caps = u16_row_gather_i32(caps0, perm)               # rank order
+        if _CAPS_VIA_SORT:
+            caps = tuple(caps_s)                             # rank order
+        else:
+            caps0 = jnp.stack(
+                _capsule_params(means2d, conics, opacities), axis=1)
+            caps = u16_row_gather_i32(caps0, perm)           # rank order
+            caps = tuple(caps[:, j] for j in range(3))
     key_i32, gid = expand_entries(
         offsets, basenx, perm, total,
         capacity=capacity, n=n, n_tiles=n_tiles, tiles_x=tiles_x,
@@ -407,4 +425,5 @@ def _capsule_params(means2d, conics, opacities):
     ch0 = q_mid(mx) * 4096.0 + q_mid(my)
     ch1 = q_out(vx) * 4096.0 + q_out(vy)
     ch2 = b_enc * 4096.0 + no_cull.astype(jnp.float32)
-    return jnp.stack([ch0, ch1, ch2], axis=1).astype(jnp.int32)
+    return (ch0.astype(jnp.int32), ch1.astype(jnp.int32),
+            ch2.astype(jnp.int32))

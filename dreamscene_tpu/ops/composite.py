@@ -596,6 +596,19 @@ def _bwd_kernel(
                 osem_ref.at[oslot],
             ).wait()
 
+    # structural zero chunk at n_u (always < the static chunk bound, see
+    # binning.max_chunks' +1): the VJP redirects masked entries' gather
+    # index to column n_u*chunk instead of paying a full masked select
+    # pass over the gathered [capacity, 10] table.
+    obuf_ref[0] = jnp.zeros((REC_WIDTH, chunk), jnp.float32)
+    zdma = pltpu.make_async_copy(
+        obuf_ref.at[0],
+        grec_hbm.at[:, pl.ds(n_u * chunk, chunk)],
+        osem_ref.at[0],
+    )
+    zdma.start()
+    zdma.wait()
+
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")

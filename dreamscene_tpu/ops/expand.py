@@ -253,7 +253,7 @@ def expand_entries(
     tiles_x: int,
     shift: int,
     rank_drop: int = 0,
-    caps: jnp.ndarray | None = None,   # [N, 3] i32 capsule channels
+    caps: tuple | None = None,   # 3 x [N] i32 capsule channel columns
     block: int = 2048,
     interpret: bool = False,
 ):
@@ -285,7 +285,7 @@ def expand_entries(
                 jnp.ones((n,), jnp.float32)]
     use_cull = caps is not None
     if use_cull:
-        row_list += [delta(caps[:, j]) for j in range(3)]
+        row_list += [delta(caps[j]) for j in range(3)]
     rows = jnp.stack(row_list, axis=0)                       # [5 or 8, N]
     win = jnp.zeros((W_ROWS, n_pad), jnp.float32)
     win = jax.lax.dynamic_update_slice(win, rows, (0, 0))
@@ -307,7 +307,7 @@ def expand_entries(
                  jnp.where(zero_base, 0, offsets[base_idx]),
                  jnp.where(zero_base, 0, perm[base_idx])]
     if use_cull:
-        base_cols += [jnp.where(zero_base, 0, caps[base_idx, j])
+        base_cols += [jnp.where(zero_base, 0, caps[j][base_idx])
                       for j in range(3)]
     else:
         base_cols += [jnp.zeros_like(base_cols[0])] * 3

@@ -137,10 +137,23 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     # tables. Rows past N_LIVE_FIELDS are structurally zero (kernel pads
     # for 8-aligned sublane DMA) and sliced off first.
     capacity = pos_of_entry.shape[0]
+    # Masked-entry redirect instead of a masked select pass: rows past
+    # the live entries (dropped) and rows whose grad-table position lies
+    # past the live-chunk bound (culled/trash entries — the backward
+    # kernel's dynamic loop never writes there) must enter the cumsum as
+    # zero. The kernel zeroes chunk u_used explicitly (composite.py bwd
+    # epilogue), so pointing those entries' gather index at column
+    # u_used*chunk yields exact zeros for free — no [capacity, 10]
+    # select pass, and garbage HBM is never even read.
+    n_live = jnp.sum(surv)
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    u_used = chunks[-1]
+    keep = (e < n_live) & (pos_of_entry < u_used * chunk)
+    pos_safe = jnp.where(keep, pos_of_entry, u_used * chunk)
     if _PACKED_GRAD_GATHER:
         # dense [GT/4, 128]-u16 packed rows; bit-exact (no bf16 split)
         grec_e = _packed_row_gather_cols(
-            grec_t, pos_of_entry, pack=4
+            grec_t, pos_safe, pack=4
         )[:, :N_LIVE_FIELDS]
     else:
         g10 = grec_t[:N_LIVE_FIELDS]              # [10, n_chunks*chunk]
@@ -148,21 +161,13 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         glo = (g10 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
         hi_rows = jnp.transpose(ghi)              # [n_chunks*chunk, 10]
         lo_rows = jnp.transpose(glo)
-        grec_e = (hi_rows[pos_of_entry].astype(jnp.float32)
-                  + lo_rows[pos_of_entry].astype(jnp.float32))
-    # zero rows past the live entries: segments are CONSECUTIVE in
-    # expansion order (ends[r] == starts[r+1] up to dropped entries,
-    # which are exactly the zeroed rows), so one boundary gather at
-    # starts-1 yields both segment ends — top[r] = bot[r+1] — instead of
-    # separate top/bot gathers (each ~1.4-1.9ms at 300K rows on v5e).
-    n_live = jnp.sum(surv)
-    e = jnp.arange(capacity, dtype=jnp.int32)
-    # two masks: rows past the live entries (dropped), and rows whose
-    # grad-table position lies past the live-chunk bound (culled/trash
-    # entries — the backward kernel's dynamic loop never writes there)
-    u_used = chunks[-1]
-    keep = (e < n_live) & (pos_of_entry < u_used * chunk)
-    grec_e = jnp.where(keep[:, None], grec_e, 0.0)
+        grec_e = (hi_rows[pos_safe].astype(jnp.float32)
+                  + lo_rows[pos_safe].astype(jnp.float32))
+    # segments are CONSECUTIVE in expansion order (ends[r] ==
+    # starts[r+1] up to dropped entries, which are exactly the zeroed
+    # rows), so one boundary gather at starts-1 yields both segment
+    # ends — top[r] = bot[r+1] — instead of separate top/bot gathers
+    # (each ~1.4-1.9ms at 300K rows on v5e).
     csum = _blocked_cumsum(grec_e)
     bot = jnp.where(
         (seg_starts > 0)[:, None],

@@ -1,0 +1,76 @@
+"""On-chip A/B + parity for Pallas flash attention in the SD stack.
+
+Runs the SD2.1-architecture UNet (random weights, identical FLOPs to real
+ones) and the full VAE encoder at 512^2 with the flash path enabled vs
+DS_NO_FLASH_ATTN=1, comparing outputs (tolerance) and times. Run on the
+real TPU: the flash path is gated off on CPU.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def timeit(name, f, *a):
+    import jax
+    o = f(*a)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = f(*a)
+    jax.block_until_ready(o)
+    print(f"{name:40s} {(time.perf_counter() - t0) / 5 * 1e3:8.2f} ms",
+          flush=True)
+    return o
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dreamscene_tpu.guidance import sd_flax
+
+    rng = np.random.RandomState(0)
+    ucfg = sd_flax.sd21_unet_config()
+    unet = sd_flax.FlaxUNet2DCondition(ucfg)
+    lat = jnp.asarray(rng.randn(3, 64, 64, 4).astype(np.float32))
+    t = jnp.asarray([500.0] * 3, jnp.float32)
+    txt = jnp.asarray(rng.randn(3, 77, 1024).astype(np.float32))
+    params = jax.jit(unet.init)(jax.random.key(0), lat, t, txt)
+
+    def run_unet(l):
+        return unet.apply(params, l, t, txt)
+
+    vcfg = sd_flax.VAEConfig()
+    vae = sd_flax.FlaxVAEEncoder(vcfg)
+    img = jnp.asarray(rng.rand(2, 512, 512, 3).astype(np.float32) * 2 - 1)
+    vparams = jax.jit(vae.init)(jax.random.key(1), img)
+
+    def vae_loss(im):
+        return jnp.sum(vae.apply(vparams, im) ** 2)
+
+    results = {}
+    for label, env in (("flash", "0"), ("naive", "1")):
+        os.environ["DS_NO_FLASH_ATTN"] = env
+        # fresh jits so the env gate re-resolves at trace time
+        ju = jax.jit(lambda l: run_unet(l))
+        jv = jax.jit(jax.value_and_grad(vae_loss))
+        results[label, "unet"] = np.asarray(timeit(f"unet {label}", ju, lat))
+        lv, gv = timeit(f"vae encode+grad {label}", jv, img)
+        results[label, "vae"] = (float(lv), np.asarray(gv))
+
+    du = np.abs(results["flash", "unet"] - results["naive", "unet"])
+    su = np.abs(results["naive", "unet"]).max()
+    print(f"unet max abs diff {du.max():.3e} (scale {su:.3e})")
+    lf, gf = results["flash", "vae"]
+    ln, gn = results["naive", "vae"]
+    dg = np.abs(gf - gn).max()
+    print(f"vae loss diff {abs(lf - ln):.3e}  grad max abs diff {dg:.3e} "
+          f"(grad scale {np.abs(gn).max():.3e})")
+
+
+if __name__ == "__main__":
+    main()
