@@ -28,6 +28,10 @@ CUDA_NOMINAL_PIXPS = 26.2e6
 # adaptive CapacityController instead). BENCH_CAP_MULT=8 renders the
 # scene with zero drops for the honest-full-workload number (ROADMAP).
 CAP_MULT = int(os.environ.get("BENCH_CAP_MULT", 4))
+# composite record-chunk length (256 = measured optimum pre-packed-gather;
+# 512 halves loop/DMA-issue overhead but grows the grad table — re-A/B
+# whenever the gather path changes)
+CHUNK = int(os.environ.get("BENCH_CHUNK", 256))
 
 
 def build_scene(n, seed=0, sh_degree=2):
@@ -80,6 +84,7 @@ def main():
             tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
             width=WIDTH, height=HEIGHT,
             bg=jnp.zeros((3,), jnp.float32), sh_degree=2, capacity=capacity,
+            chunk=CHUNK,
         )
         return (
             jnp.mean(out["image"]) + 0.1 * jnp.mean(out["depth"])

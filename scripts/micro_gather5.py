@@ -256,6 +256,51 @@ timeit("VJP chain PACKED (dense [GT/4,128]u16 gather)",
        lambda x: loop(chain_packed, x), g10)
 
 
+def chain_dense(gt):
+    """Fully-dense chain: packed gather -> [CAP/8, 128]-f32 dense rows
+    (8 entries x 16 fields) -> lane-shift cumsum -> packed boundary
+    gather. No [CAP, 10/16]-padded arrays anywhere (each of those moves
+    8x its payload); masked entries use the zero-row redirect (free)."""
+    gt16 = jnp.concatenate(
+        [gt, jnp.zeros((16 - W, GT), jnp.float32)], axis=0)
+    rows = jax.lax.bitcast_convert_type(
+        jnp.transpose(gt16), jnp.uint16).reshape(GT // 4, 128)
+    g = rows[pos // 4]                                   # [CAP, 128] u16
+    sub = pos % 4
+    out = g[:, 0:32]
+    for k in range(1, 4):
+        out = jnp.where((sub == k)[:, None], g[:, k * 32:(k + 1) * 32], out)
+    x = jax.lax.bitcast_convert_type(
+        out.reshape(CAP // 8, 128, 2), jnp.float32)      # [CAP/8, 128] f32
+    # inclusive per-entry prefix: 3 record-shift adds within the row,
+    # then a row-carry cumsum on the 16x-smaller totals
+    for s in (16, 32, 64):
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :-s]
+    tot = x[:, 112:128]                                  # [CAP/8, 16]
+    carry = _blocked_cumsum(tot)
+    carry = jnp.concatenate(
+        [jnp.zeros((1, 16), jnp.float32), carry[:-1]], axis=0)
+    x = x + jnp.tile(carry, (1, 8))
+    # boundary: csum at entry starts-1 = row (s-1)//8, record slot (s-1)%8
+    b = jnp.clip(seg_starts - 1, 0, CAP - 1)
+    br = x[b // 8]                                       # [N, 128] f32
+    slot = b % 8
+    bot = br[:, 0:16]
+    for k in range(1, 8):
+        bot = jnp.where((slot == k)[:, None], br[:, k * 16:(k + 1) * 16], bot)
+    bot = jnp.where((seg_starts > 0)[:, None], bot, 0.0)
+    last = x[-1:, 112:128]
+    top = jnp.concatenate([bot[1:], last], axis=0)
+    grad_rank = (top - bot)[:, :W]
+    s16 = jax.lax.bitcast_convert_type(grad_rank, jnp.uint16).reshape(
+        NSPL, 2 * W)
+    return jax.lax.bitcast_convert_type(
+        s16[inv_perm].reshape(NSPL, W, 2), jnp.float32)
+
+timeit("VJP chain DENSE ([CAP/8,128] rows everywhere)",
+       lambda x: loop(chain_dense, x), g10)
+
+
 def relayout_only(gt):
     gt16 = jnp.concatenate(
         [gt, jnp.zeros((16 - W, GT), jnp.float32)], axis=0)
