@@ -54,6 +54,11 @@ from dreamscene_tpu.ops.gather import (
 # until the TPU tunnel lets us time it.
 _PACKED_GRAD_GATHER = os.environ.get("DS_PACKED_GRAD_GATHER") == "1"
 _PACKED_REC_GATHER = os.environ.get("DS_PACKED_REC_GATHER") == "1"
+# Fully-dense VJP chain: packed gather -> [capacity/8, 128]-f32 dense
+# rows (8 entries x 16 fields) -> lane-shift cumsum -> packed boundary
+# gather. No [capacity, 10/16] lane-padded arrays anywhere (each such
+# pass moves 8x its payload on TPU). Supersedes _PACKED_GRAD_GATHER.
+_DENSE_VJP = os.environ.get("DS_DENSE_VJP") == "1"
 
 
 def _blocked_cumsum(x, block=128):
@@ -72,6 +77,50 @@ def _blocked_cumsum(x, block=128):
     carry = _blocked_cumsum(inner[:, -1, :], block)
     carry = jnp.concatenate([jnp.zeros((1, w), x.dtype), carry[:-1]], axis=0)
     return (inner + carry[:, None, :]).reshape(nb * block, w)[:m]
+
+
+def _dense_vjp_chain(grec_t, pos_safe, seg_starts, inv_perm, capacity):
+    """Grad-table reduction with every intermediate in a DENSE layout.
+
+    [R, 10/16]-ish f32 tables are lane-padded to 128 on TPU
+    ({1,0:T(8,128)}), so the plain gather/cumsum/boundary chain moves
+    ~8x its payload bytes per pass. Here: packed-row u16 gather (4
+    records per 128-lane row), reduction state as [capacity/8, 128] f32
+    rows holding 8 entries x 16 fields, per-entry inclusive prefix via 3
+    record-aligned lane shifts + a 16x-smaller carry cumsum, and the
+    segment-boundary lookup as a packed gather + slot select. Masked
+    entries arrive pre-redirected to the kernel's zero column (pos_safe),
+    so no select pass is needed. Bit-exact gather; cumsum reassociation
+    is the same fp32 error class as _blocked_cumsum. Returns [N, 16]."""
+    gt = grec_t.shape[1]
+    rows = jax.lax.bitcast_convert_type(
+        jnp.transpose(grec_t), jnp.uint16
+    ).reshape(gt // 4, 128)
+    g = rows[pos_safe // 4]                              # [cap, 128] u16
+    sub = pos_safe % 4
+    out = g[:, 0:32]
+    for k in range(1, 4):
+        out = jnp.where((sub == k)[:, None], g[:, k * 32:(k + 1) * 32], out)
+    x = jax.lax.bitcast_convert_type(
+        out.reshape(capacity // 8, 128, 2), jnp.float32
+    )                                                    # [cap/8, 128] f32
+    for s in (16, 32, 64):                               # row-local prefix
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :-s]
+    carry = _blocked_cumsum(x[:, 112:128])               # row totals
+    carry = jnp.concatenate(
+        [jnp.zeros((1, REC_WIDTH), jnp.float32), carry[:-1]], axis=0)
+    x = x + jnp.tile(carry, (1, 8))
+    b = jnp.clip(seg_starts - 1, 0, capacity - 1)
+    br = x[b // 8]                                       # [N, 128] f32
+    slot = b % 8
+    bot = br[:, 0:REC_WIDTH]
+    for k in range(1, 8):
+        bot = jnp.where(
+            (slot == k)[:, None],
+            br[:, k * REC_WIDTH:(k + 1) * REC_WIDTH], bot)
+    bot = jnp.where((seg_starts > 0)[:, None], bot, 0.0)
+    top = jnp.concatenate([bot[1:], x[-1:, 112:128]], axis=0)
+    return _u16_row_gather(top - bot, inv_perm)          # [N, 16]
 
 
 def _gather(rec_n, gid_pad):
@@ -150,6 +199,10 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     u_used = chunks[-1]
     keep = (e < n_live) & (pos_of_entry < u_used * chunk)
     pos_safe = jnp.where(keep, pos_of_entry, u_used * chunk)
+    if _DENSE_VJP and capacity % 8 == 0:
+        return (_dense_vjp_chain(grec_t, pos_safe, seg_starts, inv_perm,
+                                 capacity),
+                None, None, None, None, None, None)
     if _PACKED_GRAD_GATHER:
         # dense [GT/4, 128]-u16 packed rows; bit-exact (no bf16 split)
         grec_e = _packed_row_gather_cols(

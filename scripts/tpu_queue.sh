@@ -12,6 +12,8 @@ echo "--- 2. bench A/B: both packed gathers"
 timeout 900 env DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 python bench.py 2>&1 | grep -v WARNING
 echo "--- 3. bench A/B: + caps via sort"
 timeout 900 env DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python bench.py 2>&1 | grep -v WARNING
+echo "--- 3a. bench A/B: dense VJP chain (supersedes packed grad gather)"
+timeout 900 env DS_DENSE_VJP=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python bench.py 2>&1 | grep -v WARNING
 echo "--- 3b. bench A/B: + chunk=512 (re-tune with cheap gathers)"
 timeout 900 env BENCH_CHUNK=512 DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python bench.py 2>&1 | grep -v WARNING
 echo "--- 4. gather microbench (cliff sweep + packed variants)"

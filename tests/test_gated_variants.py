@@ -78,12 +78,19 @@ def test_packed_gathers_match_default(monkeypatch):
     monkeypatch.setattr(rasterizer, "_PACKED_GRAD_GATHER", True)
     img1, g1 = _render_grads(scene, cam)
 
+    monkeypatch.setattr(rasterizer, "_DENSE_VJP", True)
+    img2, g2 = _render_grads(scene, cam)
+
     # forward record gather is bit-exact
     np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(img0, img2)
     # grad gather: default bf16 hi/lo pair is lossy (~2^-17 per gathered
-    # row, amplified by segment-difference cancellation), packed is exact
-    # — they agree inside the repo-wide 2e-4 grad-parity budget
+    # row, amplified by segment-difference cancellation), packed/dense
+    # are exact up to cumsum reassociation — all agree inside the
+    # repo-wide 2e-4 grad-parity budget
     for k in g0:
         scale = np.maximum(np.abs(g0[k]).max(), 1e-12)
         np.testing.assert_allclose(
             g0[k], g1[k], atol=2e-4 * scale, err_msg=k)
+        np.testing.assert_allclose(
+            g1[k], g2[k], atol=2e-4 * scale, err_msg=k + " dense")
