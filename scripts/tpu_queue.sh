@@ -23,6 +23,9 @@ timeout 1500 python scripts/tpu_parity.py 2>&1 | grep -v WARNING
 echo "--- 6. trace with best gates (decode for the misc bucket)"
 timeout 900 env DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python scripts/trace_bench.py 2>&1 | tail -3
 timeout 300 python scripts/decode_trace.py /tmp/jtrace 2>&1 | head -45
+echo "--- 6b. HLO padded-bytes ranking with best gates"
+timeout 900 env DS_DENSE_VJP=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python scripts/dump_hlo.py 2>&1 | head -3
+timeout 120 python scripts/hlo_bytes.py /tmp/bench_hlo.txt 2>&1 | head -40
 echo "--- 7. bench zero-drop capacity (8N) best gates"
 timeout 900 env BENCH_CAP_MULT=8 DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python bench.py 2>&1 | grep -v WARNING
 echo "--- 8. flash attention A/B + parity (SD2.1 arch)"
