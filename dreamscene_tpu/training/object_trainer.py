@@ -448,6 +448,11 @@ class ObjectTrainer:
             jnp.asarray(as_latent), lrs,
         )
         self.state = dataclasses.replace(st, params=params, opt=opt, aux=aux)
+        # ONE device->host transfer for all per-step scalars: each
+        # separate int()/float() is its own round-trip (~1.5 ms over the
+        # TPU tunnel), three of which were pure pipeline-stall latency
+        loss, n_entries, n_dropped = jax.device_get(
+            (loss, n_entries, n_dropped))
         if self.cap_ctrl.update(st.capacity, int(n_entries), int(n_dropped)):
             logger.info("entry capacity multiplier -> %dx (entries %d, "
                         "dropped %d)", self.cap_ctrl.mult, int(n_entries),

@@ -587,6 +587,10 @@ class SceneTrainer:
             jnp.asarray(self.guidance.should_flip() if guidance_on else False),
             jnp.asarray(as_latent), lrs_list, gt,
         )
+        # one device->host transfer for the per-step scalars (each
+        # separate int()/float() is its own ~1.5 ms tunnel round-trip)
+        loss, n_entries, n_dropped = jax.device_get(
+            (loss, n_entries, n_dropped))
         if self.cap_ctrl.update(sum(capacities) // 2, int(n_entries),
                                 int(n_dropped)):
             logger.info("scene entry capacity multiplier -> %dx/2",
