@@ -109,12 +109,33 @@ def _use_flash_attention(n: int, m: int) -> bool:
     77-token text — the matrix is tiny and 77 breaks the 128-lane block
     granularity). The guidance UNet is forward-only (CSD assembles
     gradients algebraically; reference guidance/multitime_sd_utils.py
-    runs the UNet under no_grad), so only the fwd kernel is exercised.
+    runs the UNet under no_grad); the VAE encoder path also uses the
+    kernel's custom VJP.
     """
     if os.environ.get("DS_NO_FLASH_ATTN") == "1":
         return False
     return (n == m and n >= 1024 and n % 128 == 0
             and jax.default_backend() == "tpu")
+
+
+def _flash_attention(q, k, v, scale):
+    """flash_attention on [b, heads, n, d] operands with block sizes that
+    divide n (the kernel hard-rejects non-divisible blocks — n = 6400 at
+    640^2 images passes the 128-lane gate but not a fixed 512 block)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    n = q.shape[2]
+    bq = bk = next(b for b in (512, 256, 128) if n % b == 0)
+    blocks = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    return flash_attention(q, k, v, sm_scale=scale, block_sizes=blocks)
 
 
 class Attention(nn.Module):
@@ -138,22 +159,9 @@ class Attention(nn.Module):
         v = v.reshape(b, m, self.heads, self.head_dim)
         scale = self.head_dim**-0.5
         if _use_flash_attention(n, m):
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                BlockSizes,
-                flash_attention,
-            )
-
-            bq = bk = min(512, n)
-            blocks = BlockSizes(
-                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                block_q_major_dkv=bq, block_k_major_dkv=bk,
-                block_k_dkv=bk, block_q_dkv=bq,
-                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-            )
-            out = flash_attention(
+            out = _flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), sm_scale=scale,
-                block_sizes=blocks,
+                v.transpose(0, 2, 1, 3), scale,
             ).transpose(0, 2, 1, 3).reshape(b, n, inner).astype(self.dtype)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
@@ -468,21 +476,8 @@ class VAEAttention(nn.Module):
             # single head, head_dim = c; the VAE encoder IS differentiated
             # (train_step backprops the CSD latent grad through encode) —
             # the flash kernel's custom VJP covers that.
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                BlockSizes,
-                flash_attention,
-            )
-
-            bq = bk = min(512, n)
-            blocks = BlockSizes(
-                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                block_q_major_dkv=bq, block_k_major_dkv=bk,
-                block_k_dkv=bk, block_q_dkv=bq,
-                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-            )
-            y = flash_attention(
-                q[:, None], k[:, None], v[:, None],
-                sm_scale=c ** -0.5, block_sizes=blocks,
+            y = _flash_attention(
+                q[:, None], k[:, None], v[:, None], c ** -0.5,
             )[:, 0].astype(self.dtype)
         else:
             attn = jax.nn.softmax(

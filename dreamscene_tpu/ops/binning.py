@@ -55,6 +55,9 @@ TILE_PIX = TILE * TILE
 # measured ~0.2 ms each) — flip after on-chip A/B. Result-identical:
 # payloads ride the same stable sort.
 _CAPS_VIA_SORT = os.environ.get("DS_CAPS_VIA_SORT") == "1"
+# packed (basenx, count) single-payload sort applies while their bits fit
+# this budget (module-level so tests can force the unpacked branch)
+_SORT_PACK_BIT_BUDGET = 31
 
 
 def cdiv(a: int, b: int) -> int:
@@ -207,7 +210,7 @@ def bin_splats(
     # faster than 4-operand on v5e
     max_count_bits = (tiles_x * tiles_y).bit_length()   # count <= n_tiles
     base_bits = ((n_tiles - 1) * 256 + 255).bit_length()
-    if base_bits + max_count_bits <= 31:
+    if base_bits + max_count_bits <= _SORT_PACK_BIT_BUDGET:
         packed0 = jax.lax.bitcast_convert_type(
             basenx0 << max_count_bits, jnp.uint32
         ) | count0.astype(jnp.uint32)

@@ -41,10 +41,10 @@ def u16_row_gather_i32(src, idx):
     )
 
 
-def packed_row_gather_cols(src_t, idx, pack: int = 4):
-    """Exact row gather from a FIELD-MAJOR f32 table [W, M] at row
-    indices `idx` into [len(idx), W] — routed through a DENSE
-    [M/pack, pack*2W]-u16 packed table.
+def packed_rows_u16(src_t, idx, pack: int = 4):
+    """Gather+select core of the packed-row paths: [K, 2W]-u16 rows (one
+    per index) from a FIELD-MAJOR f32 table [W, M], routed through a
+    DENSE [M/pack, pack*2W]-u16 packed table.
 
     Rationale (TPU layout): a [M, 2W]-u16 row table is stored lane-padded
     to 128 (`T(16,128)` tiling), so XLA's gather scans up to 4x the
@@ -67,6 +67,14 @@ def packed_row_gather_cols(src_t, idx, pack: int = 4):
         out = jnp.where(
             (sub == k)[:, None], g[:, k * 2 * w:(k + 1) * 2 * w], out
         )
+    return out                                  # [K, 2W] u16
+
+
+def packed_row_gather_cols(src_t, idx, pack: int = 4):
+    """Exact f32 row gather from a FIELD-MAJOR table [W, M] at row
+    indices `idx` into [len(idx), W] via `packed_rows_u16`."""
+    w = src_t.shape[0]
+    out = packed_rows_u16(src_t, idx, pack)
     return jax.lax.bitcast_convert_type(
         out.reshape(idx.shape[0], w, 2), jnp.float32
     )

@@ -44,6 +44,7 @@ import os
 from dreamscene_tpu.ops.gather import (
     packed_row_gather_cols as _packed_row_gather_cols,
     packed_row_gather_rows as _packed_row_gather_rows,
+    packed_rows_u16 as _packed_rows_u16,
     u16_row_gather as _u16_row_gather,
 )
 
@@ -92,15 +93,7 @@ def _dense_vjp_chain(grec_t, pos_safe, seg_starts, inv_perm, capacity):
     entries arrive pre-redirected to the kernel's zero column (pos_safe),
     so no select pass is needed. Bit-exact gather; cumsum reassociation
     is the same fp32 error class as _blocked_cumsum. Returns [N, 16]."""
-    gt = grec_t.shape[1]
-    rows = jax.lax.bitcast_convert_type(
-        jnp.transpose(grec_t), jnp.uint16
-    ).reshape(gt // 4, 128)
-    g = rows[pos_safe // 4]                              # [cap, 128] u16
-    sub = pos_safe % 4
-    out = g[:, 0:32]
-    for k in range(1, 4):
-        out = jnp.where((sub == k)[:, None], g[:, k * 32:(k + 1) * 32], out)
+    out = _packed_rows_u16(grec_t, pos_safe, pack=4)     # [cap, 32] u16
     x = jax.lax.bitcast_convert_type(
         out.reshape(capacity // 8, 128, 2), jnp.float32
     )                                                    # [cap/8, 128] f32

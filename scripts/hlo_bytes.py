@@ -14,13 +14,18 @@ import sys
 path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_hlo.txt"
 min_mb = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
 txt = open(path).read()
-line_re = re.compile(r'^\s*(%?[\w\.\-]+) = ((?:\(|[a-z0-9]+\[)[^ ]+) (\w+)\(', re.M)
+line_re = re.compile(
+    r'^\s*(%?[\w\.\-]+) = (\([^)]*\)|[a-z0-9]+\[[^ ]+) (\w+)\(', re.M)
 
 BYTES = {'f32': 4, 's32': 4, 'u32': 4, 'bf16': 2, 'u16': 2, 'f16': 2,
          'pred': 1, 's8': 1, 'u8': 1, 's16': 2, 'f64': 8}
 
 
 def shape_bytes(shape):
+    if shape.startswith('('):
+        # tuple-typed (multi-output fusion): sum the component shapes
+        return sum(shape_bytes(c) for c in re.findall(
+            r'[a-z0-9]+\[[\d,]*\]\{[^}]*\}', shape))
     m = re.match(r'([a-z0-9]+)\[([\d,]*)\]\{([^}]*)\}', shape)
     if not m:
         return 0

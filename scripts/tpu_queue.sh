@@ -18,8 +18,10 @@ echo "--- 3b. bench A/B: + chunk=512 (re-tune with cheap gathers)"
 timeout 900 env BENCH_CHUNK=512 DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python bench.py 2>&1 | grep -v WARNING
 echo "--- 4. gather microbench (cliff sweep + packed variants)"
 timeout 1200 python scripts/micro_gather5.py 2>&1 | grep -v WARNING
-echo "--- 5. TPU parity (compiled vs golden)"
+echo "--- 5. TPU parity (compiled vs golden, default gates)"
 timeout 1500 python scripts/tpu_parity.py 2>&1 | grep -v WARNING
+echo "--- 5b. TPU parity with candidate gates (validates any flip)"
+timeout 1500 env DS_DENSE_VJP=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python scripts/tpu_parity.py 2>&1 | grep -v WARNING
 echo "--- 6. trace with best gates (decode for the misc bucket)"
 timeout 900 env DS_PACKED_GRAD_GATHER=1 DS_PACKED_REC_GATHER=1 DS_CAPS_VIA_SORT=1 python scripts/trace_bench.py 2>&1 | tail -3
 timeout 300 python scripts/decode_trace.py /tmp/jtrace 2>&1 | head -45

@@ -46,9 +46,15 @@ def test_caps_via_sort_identical(monkeypatch):
     a = _binned(scene, cam, capacity=2048)
     monkeypatch.setattr(binning, "_CAPS_VIA_SORT", True)
     b = _binned(scene, cam, capacity=2048)
+    # also through the UNPACKED 4-operand depth-sort branch (normally only
+    # hit by huge images where basenx+count exceed one u32)
+    monkeypatch.setattr(binning, "_SORT_PACK_BIT_BUDGET", 0)
+    c = _binned(scene, cam, capacity=2048)
 
-    for name, x, y in zip(a._fields, a, b):
+    for name, x, y, z in zip(a._fields, a, b, c):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(z), err_msg=name + " unpacked")
 
 
 def _render_grads(scene, cam):
@@ -94,3 +100,27 @@ def test_packed_gathers_match_default(monkeypatch):
             g0[k], g1[k], atol=2e-4 * scale, err_msg=k)
         np.testing.assert_allclose(
             g1[k], g2[k], atol=2e-4 * scale, err_msg=k + " dense")
+
+
+def test_dense_vjp_fallback_capacity_not_div8(monkeypatch):
+    """capacity % 8 != 0 must silently fall back to the default grad
+    gather under DS_DENSE_VJP (the dense chain needs 8-entry rows)."""
+    scene = make_scene(n=300, seed=11)
+    cam = make_camera(64, 64)
+
+    def grads(cap):
+        def loss(params):
+            out = rasterizer.render(
+                **params, **camera_kwargs(cam),
+                bg=jnp.zeros((3,), jnp.float32), sh_degree=2,
+                capacity=cap, interpret=True,
+            )
+            return jnp.mean(out["image"])
+        return jax.tree.map(np.asarray, jax.grad(loss)(scene))
+
+    monkeypatch.setattr(rasterizer, "_DENSE_VJP", False)
+    g0 = grads(1924)    # not divisible by 8
+    monkeypatch.setattr(rasterizer, "_DENSE_VJP", True)
+    g1 = grads(1924)
+    for k in g0:
+        np.testing.assert_array_equal(g0[k], g1[k], err_msg=k)
