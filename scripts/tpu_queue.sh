@@ -3,6 +3,9 @@
 # serializes remote compiles). Run the moment the tunnel responds:
 #   sh scripts/tpu_queue.sh 2>&1 | tee /tmp/queue_$(date +%H%M).log
 cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_tpu_cache}
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.5
 echo "=== queue start $(date)"
 echo "--- 0. bench BASELINE (defaults, post mask-redirect)"
 timeout 900 python bench.py 2>&1 | grep -v WARNING
