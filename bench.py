@@ -32,6 +32,11 @@ CAP_MULT = int(os.environ.get("BENCH_CAP_MULT", 4))
 # 512 halves loop/DMA-issue overhead but grows the grad table — re-A/B
 # whenever the gather path changes)
 CHUNK = int(os.environ.get("BENCH_CHUNK", 256))
+# 1 = time a host-side python loop over jitted steps (pays one tunnel
+# dispatch per step, ~14 ms on the axon link); 0 (default) = chain ITERS
+# steps on-device via lax.scan — the steady-state number a training loop
+# actually sees (the trainers jit whole steps and batch host transfers).
+HOST_LOOP = int(os.environ.get("BENCH_HOST_LOOP", 1))
 
 
 def build_scene(n, seed=0, sh_degree=2):
@@ -91,17 +96,41 @@ def main():
             + 0.01 * jnp.mean(out["alpha"])
         )
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+    if HOST_LOOP:
+        step = jax.jit(jax.value_and_grad(loss_fn))
 
-    # warmup / compile
-    loss, grads = step(scene)
-    jax.block_until_ready((loss, grads))
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+        # warmup / compile
         loss, grads = step(scene)
-    jax.block_until_ready((loss, grads))
-    dt = time.perf_counter() - t0
+        jax.block_until_ready((loss, grads))
+
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            loss, grads = step(scene)
+        jax.block_until_ready((loss, grads))
+        dt = time.perf_counter() - t0
+    else:
+        # steady-state: chain ITERS fwd+bwd steps on-device. Each step
+        # feeds the next through a non-foldable 1e-30*grad nudge (adds
+        # ~1e-33 to O(1) params — numerically a no-op, but XLA cannot
+        # elide the grads), so the chain is sequential like a real
+        # optimizer loop and the tunnel is crossed once, not ITERS times.
+        def one_step(params, _):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            nudged = jax.tree_util.tree_map(
+                lambda p, g: p + 1e-30 * g, params, grads
+            )
+            return nudged, loss
+
+        @jax.jit
+        def run_iters(params):
+            return jax.lax.scan(one_step, params, None, length=ITERS)
+
+        out = run_iters(scene)            # warmup / compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = run_iters(scene)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
 
     pix_ps = WIDTH * HEIGHT * ITERS / dt
     print(json.dumps({

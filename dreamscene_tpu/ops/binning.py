@@ -49,12 +49,13 @@ from dreamscene_tpu.ops.gather import u16_row_gather_i32
 TILE = 16          # pixels per tile side
 TILE_PIX = TILE * TILE
 
-# Candidate (ROADMAP "Perf next"): carry the 3 capsule-cull channels
-# through the depth sort as extra payload operands instead of the
-# rank-order row gather (measured ~2.0 ms at 300K; extra sort operands
-# measured ~0.2 ms each) — flip after on-chip A/B. Result-identical:
-# payloads ride the same stable sort.
-_CAPS_VIA_SORT = os.environ.get("DS_CAPS_VIA_SORT") == "1"
+# Carry the 3 capsule-cull channels through the depth sort as extra
+# payload operands instead of the rank-order row gather. Result-identical
+# (payloads ride the same stable sort, pinned bit-exact by
+# tests/test_gated_variants.py); measured ON-CHIP as the only winner of
+# the round-2 gate sweep: solo 4.91 vs 4.70 Mpix/s defaults (+4.5%).
+# DS_CAPS_VIA_SORT=0 reverts to the rank-order gather.
+_CAPS_VIA_SORT = os.environ.get("DS_CAPS_VIA_SORT", "1") == "1"
 # packed (basenx, count) single-payload sort applies while their bits fit
 # this budget (module-level so tests can force the unpacked branch)
 _SORT_PACK_BIT_BUDGET = 31

@@ -170,14 +170,15 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         out, g_out, n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
         interpret=interpret,
     )                                             # [16, n_chunks*chunk]
-    # Gather formulation (measured, v5e): XLA-TPU gather cost here is
-    # ~7 ns per OUTPUT row for f32 rows but ~5x cheaper for 16-bit
-    # element types; a plain f32 gather of the 1.2M expansion rows costs
-    # 7.7 ms. So the f32 grad rows are split into EXACT bf16 hi/lo pairs
-    # (hi+lo reproduces g to 16 mantissa bits, ~2^-17 relative — far
-    # inside the 2e-4 grad-parity budget) and gathered as two bf16
-    # tables. Rows past N_LIVE_FIELDS are structurally zero (kernel pads
-    # for 8-aligned sublane DMA) and sliced off first.
+    # Gather formulation (measured on-chip, v5e, round-2 trace): ONE
+    # exact f32 row gather (7.7 ms at 1.2M output rows). The earlier
+    # bf16 hi/lo pair gather — meant to hit XLA's cheap 16-bit gather
+    # path — stopped paying once the masked-select pass was replaced by
+    # the index redirect: each half then fused with its f32 convert and
+    # transpose into a full-price ~7.9 ms fusion, so the pair cost
+    # 15.8 ms/step for a lossy result. Rows past N_LIVE_FIELDS are
+    # structurally zero (kernel pads for 8-aligned sublane DMA) and are
+    # sliced off first.
     capacity = pos_of_entry.shape[0]
     # Masked-entry redirect instead of a masked select pass: rows past
     # the live entries (dropped) and rows whose grad-table position lies
@@ -203,12 +204,7 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
         )[:, :N_LIVE_FIELDS]
     else:
         g10 = grec_t[:N_LIVE_FIELDS]              # [10, n_chunks*chunk]
-        ghi = g10.astype(jnp.bfloat16)
-        glo = (g10 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-        hi_rows = jnp.transpose(ghi)              # [n_chunks*chunk, 10]
-        lo_rows = jnp.transpose(glo)
-        grec_e = (hi_rows[pos_safe].astype(jnp.float32)
-                  + lo_rows[pos_safe].astype(jnp.float32))
+        grec_e = jnp.transpose(g10)[pos_safe]     # [capacity, 10] f32, exact
     # segments are CONSECUTIVE in expansion order (ends[r] ==
     # starts[r+1] up to dropped entries, which are exactly the zeroed
     # rows), so one boundary gather at starts-1 yields both segment
