@@ -39,27 +39,14 @@ from dreamscene_tpu.ops.composite import (
 from dreamscene_tpu.ops.projection import project_gaussians
 
 
-import os
+from dreamscene_tpu.ops.gather import u16_row_gather as _u16_row_gather
 
-from dreamscene_tpu.ops.gather import (
-    packed_row_gather_cols as _packed_row_gather_cols,
-    packed_row_gather_rows as _packed_row_gather_rows,
-    packed_rows_u16 as _packed_rows_u16,
-    u16_row_gather as _u16_row_gather,
-)
-
-# Packed-row grad-table gather (ops/gather.packed_row_gather_cols):
-# bit-exact, candidate replacement for the bf16 hi/lo pair gather below —
-# flip after on-chip measurement (scripts/micro_gather5.py; ROADMAP
-# "Perf next" item 0). Env-gated so the measured default stays in effect
-# until the TPU tunnel lets us time it.
-_PACKED_GRAD_GATHER = os.environ.get("DS_PACKED_GRAD_GATHER") == "1"
-_PACKED_REC_GATHER = os.environ.get("DS_PACKED_REC_GATHER") == "1"
-# Fully-dense VJP chain: packed gather -> [capacity/8, 128]-f32 dense
-# rows (8 entries x 16 fields) -> lane-shift cumsum -> packed boundary
-# gather. No [capacity, 10/16] lane-padded arrays anywhere (each such
-# pass moves 8x its payload on TPU). Supersedes _PACKED_GRAD_GATHER.
-_DENSE_VJP = os.environ.get("DS_DENSE_VJP") == "1"
+# Measured dead ends (round 2, on-chip A/B — see ARCHITECTURE.md
+# "Measured dead ends"): packed dense-row gathers for the grad table and
+# record table, and a fully-dense VJP chain, all regressed vs the plain
+# f32/u16 gathers below despite winning on CPU-replica microbenches.
+# XLA-TPU's row gather is faster in situ than the relayout chains needed
+# to feed packed tables. The tree keeps single paths.
 
 
 def _blocked_cumsum(x, block=128):
@@ -80,42 +67,6 @@ def _blocked_cumsum(x, block=128):
     return (inner + carry[:, None, :]).reshape(nb * block, w)[:m]
 
 
-def _dense_vjp_chain(grec_t, pos_safe, seg_starts, inv_perm, capacity):
-    """Grad-table reduction with every intermediate in a DENSE layout.
-
-    [R, 10/16]-ish f32 tables are lane-padded to 128 on TPU
-    ({1,0:T(8,128)}), so the plain gather/cumsum/boundary chain moves
-    ~8x its payload bytes per pass. Here: packed-row u16 gather (4
-    records per 128-lane row), reduction state as [capacity/8, 128] f32
-    rows holding 8 entries x 16 fields, per-entry inclusive prefix via 3
-    record-aligned lane shifts + a 16x-smaller carry cumsum, and the
-    segment-boundary lookup as a packed gather + slot select. Masked
-    entries arrive pre-redirected to the kernel's zero column (pos_safe),
-    so no select pass is needed. Bit-exact gather; cumsum reassociation
-    is the same fp32 error class as _blocked_cumsum. Returns [N, 16]."""
-    out = _packed_rows_u16(grec_t, pos_safe, pack=4)     # [cap, 32] u16
-    x = jax.lax.bitcast_convert_type(
-        out.reshape(capacity // 8, 128, 2), jnp.float32
-    )                                                    # [cap/8, 128] f32
-    for s in (16, 32, 64):                               # row-local prefix
-        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :-s]
-    carry = _blocked_cumsum(x[:, 112:128])               # row totals
-    carry = jnp.concatenate(
-        [jnp.zeros((1, REC_WIDTH), jnp.float32), carry[:-1]], axis=0)
-    x = x + jnp.tile(carry, (1, 8))
-    b = jnp.clip(seg_starts - 1, 0, capacity - 1)
-    br = x[b // 8]                                       # [N, 128] f32
-    slot = b % 8
-    bot = br[:, 0:REC_WIDTH]
-    for k in range(1, 8):
-        bot = jnp.where(
-            (slot == k)[:, None],
-            br[:, k * REC_WIDTH:(k + 1) * REC_WIDTH], bot)
-    bot = jnp.where((seg_starts > 0)[:, None], bot, 0.0)
-    top = jnp.concatenate([bot[1:], x[-1:, 112:128]], axis=0)
-    return _u16_row_gather(top - bot, inv_perm)          # [N, 16]
-
-
 def _gather(rec_n, gid_pad):
     """records_t[:, s] = rec_n[gid_pad[s]]: ONE row gather straight from
     the original-order record table into sorted-entry order (the entry
@@ -124,8 +75,6 @@ def _gather(rec_n, gid_pad):
     kernels DMA ([16, cap_pad]: lane-aligned [16, CHUNK] slices).
     Columns past `n_entries` gather arbitrary (real) rows — the kernels
     mask them by the per-chunk live window, so no select is needed."""
-    if _PACKED_REC_GATHER and rec_n.shape[0] % 4 == 0:
-        return jnp.transpose(_packed_row_gather_rows(rec_n, gid_pad, pack=4))
     return jnp.transpose(_u16_row_gather(rec_n, gid_pad))
 
 
@@ -193,18 +142,8 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
     u_used = chunks[-1]
     keep = (e < n_live) & (pos_of_entry < u_used * chunk)
     pos_safe = jnp.where(keep, pos_of_entry, u_used * chunk)
-    if _DENSE_VJP and capacity % 8 == 0:
-        return (_dense_vjp_chain(grec_t, pos_safe, seg_starts, inv_perm,
-                                 capacity),
-                None, None, None, None, None, None)
-    if _PACKED_GRAD_GATHER:
-        # dense [GT/4, 128]-u16 packed rows; bit-exact (no bf16 split)
-        grec_e = _packed_row_gather_cols(
-            grec_t, pos_safe, pack=4
-        )[:, :N_LIVE_FIELDS]
-    else:
-        g10 = grec_t[:N_LIVE_FIELDS]              # [10, n_chunks*chunk]
-        grec_e = jnp.transpose(g10)[pos_safe]     # [capacity, 10] f32, exact
+    g10 = grec_t[:N_LIVE_FIELDS]              # [10, n_chunks*chunk]
+    grec_e = jnp.transpose(g10)[pos_safe]     # [capacity, 10] f32, exact
     # segments are CONSECUTIVE in expansion order (ends[r] ==
     # starts[r+1] up to dropped entries, which are exactly the zeroed
     # rows), so one boundary gather at starts-1 yields both segment
@@ -248,7 +187,7 @@ def render(
     sh_degree: int = 3,
     scale_modifier: float = 1.0,
     capacity: int | None = None,
-    chunk: int = 256,
+    chunk: int = 384,
     valid_mask: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
@@ -300,7 +239,7 @@ def render_from_splats(
     height: int,
     bg: jnp.ndarray,
     capacity: int,
-    chunk: int = 256,
+    chunk: int = 384,
     pixel_offset_y: jnp.ndarray | int = 0,
     interpret: bool = False,
 ) -> dict:

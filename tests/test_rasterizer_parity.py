@@ -166,31 +166,3 @@ class TestBackwardParity:
         assert np.abs(np.asarray(g)).max() > 0
 
 
-class TestPackedRowGather:
-    def test_packed_row_gather_cols_exact(self):
-        """packed_row_gather_cols must reproduce the plain f32 row gather
-        bit-exactly for every pack width (it reassembles the original f32
-        bit patterns from dense u16 packed rows — unlike the bf16 hi/lo
-        pair path, which truncates to 16 mantissa bits)."""
-        from dreamscene_tpu.ops.gather import packed_row_gather_cols
-
-        rng = np.random.RandomState(3)
-        w, m = 16, 1024
-        src_t = jnp.asarray(rng.randn(w, m).astype(np.float32) * 1e3)
-        idx = jnp.asarray(rng.randint(0, m, 507).astype(np.int32))
-        want = np.asarray(jnp.transpose(src_t))[np.asarray(idx)]
-        for pack in (2, 4, 8):
-            got = np.asarray(packed_row_gather_cols(src_t, idx, pack=pack))
-            np.testing.assert_array_equal(got, want)
-
-    def test_packed_row_gather_rows_exact(self):
-        from dreamscene_tpu.ops.gather import packed_row_gather_rows
-
-        rng = np.random.RandomState(4)
-        n, w = 1024, 16
-        src = jnp.asarray(rng.randn(n, w).astype(np.float32) * 1e3)
-        idx = jnp.asarray(rng.randint(0, n, 321).astype(np.int32))
-        want = np.asarray(src)[np.asarray(idx)]
-        for pack in (2, 4, 8):
-            got = np.asarray(packed_row_gather_rows(src, idx, pack=pack))
-            np.testing.assert_array_equal(got, want)
