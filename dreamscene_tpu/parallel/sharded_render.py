@@ -162,6 +162,159 @@ def make_primitive_sharded_render(mesh: Mesh, width: int, height: int,
     return render_fn
 
 
+def make_fps_camera_render(mesh: Mesh, width: int, height: int,
+                           sh_degree: int, capacity: int, c_batch: int,
+                           chunk: int = 256, shard_splats: bool = False,
+                           interpret: bool = False):
+    """The TRAINER's per-camera render loop as one SPMD shard_map — the
+    piece that makes `main.py ... parallelParams.tp=N` train on a mesh.
+
+    Reproduces ObjectTrainer._fps_step_fn's loop semantics exactly
+    (per-camera SH/scale noise aug, background, means2d probes, disparity
+    normalization, reference-quirk last-camera densify stats — reference
+    training/object_trainer.py:299-459) with cameras sharded over "dp"
+    and tile bands over "tp"; `shard_splats=True` additionally splits the
+    splat axis over "tp" (projection compute + records all_gathered, the
+    ZeRO-style scaling of make_primitive_sharded_render).
+
+    Cross-band reductions (disparity min/max, n_entries) ride pmax/pmin
+    over "tp"; the last GLOBAL camera's per-splat stats are selected with
+    a masked psum over "dp". `capacity` is PER BAND.
+
+    Args:
+      inputs: dict with xyz [N,3], features [N,K,3], scaling (activated),
+        rotation (normalized), opacities (activated, [N]), active [N].
+      cam_stack: dict of [B, ...] camera arrays; aug_arr [B, 6]
+        (bg rgb, sh_drop, shs_noise, scale_noise); probes [B, N, 2];
+        vae_key: base PRNG key (replicated).
+    Returns: images [B,3,H,W], disps [B,1,H,W], alphas [B,1,H,W],
+      radii [N], visible [N], scales_mean [1], n_entries [1], n_dropped [1].
+    """
+    n_tp = mesh.shape["tp"]
+    n_dp = mesh.shape["dp"]
+    assert height % n_tp == 0 and (height // n_tp) % 16 == 0, (height, n_tp)
+    assert c_batch % n_dp == 0, (c_batch, n_dp)
+    band_h = height // n_tp
+    b_local = c_batch // n_dp
+    splat_spec = P("tp") if shard_splats else P()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(splat_spec,                    # inputs (leading N axis)
+                  P("dp"),                       # cam_stack
+                  P("dp"),                       # aug_arr
+                  P("dp", "tp") if shard_splats else P("dp"),  # probes
+                  P()),                          # vae_key
+        out_specs=(P("dp", None, "tp", None),    # images
+                   P("dp", None, "tp", None),    # disps
+                   P("dp", None, "tp", None),    # alphas
+                   splat_spec, splat_spec,       # radii, visible
+                   P(), P(), P()),               # scales_mean/n_entries/n_dropped
+        check_vma=False,
+    )
+    def render_fn(inputs, cam_stack, aug_arr, probes, vae_key):
+        band = jax.lax.axis_index("tp") * band_h
+        dp_i = jax.lax.axis_index("dp")
+        active = inputs["active"]
+        images, disps, alphas = [], [], []
+        radii_sel = None
+        n_entries = jnp.int32(0)
+        n_dropped = jnp.int32(0)
+        for i in range(b_local):
+            g = dp_i * b_local + i               # global camera index
+            cam = jax.tree.map(lambda x, i=i: x[i], cam_stack)
+            # --- per-camera aug (matches ObjectTrainer exactly) --------
+            shs = inputs["features"]
+            rest_mask = 1.0 - aug_arr[i, 3]
+            shs = jnp.concatenate([shs[:, :1], shs[:, 1:] * rest_mask], axis=1)
+            scales = inputs["scaling"]
+            k1, k2 = jax.random.split(jax.random.fold_in(vae_key, g + 1))
+            if shard_splats:
+                # local-shard noise: per-shard fold keeps streams disjoint
+                # (not bit-identical to the single-device draw — the
+                # parity test compares trajectories, not bits)
+                tpi = jax.lax.axis_index("tp")
+                k1 = jax.random.fold_in(k1, tpi)
+                k2 = jax.random.fold_in(k2, tpi)
+            shs = shs + aug_arr[i, 4] * jax.random.normal(
+                k1, shs.shape) * (0.2**0.5) * shs
+            scales = jnp.maximum(
+                scales + aug_arr[i, 5] * jax.random.normal(
+                    k2, scales.shape) * (0.2**0.5) * scales / 4, 0.0,
+            )
+            # --- project (local shard) + band rasterize ----------------
+            splats = project_gaussians(
+                inputs["xyz"], scales, inputs["rotation"],
+                inputs["opacities"], shs,
+                cam["view"], cam["proj"], cam["campos"],
+                cam["tanfovx"], cam["tanfovy"], width, height,
+                sh_degree=sh_degree, valid_mask=active,
+            )
+            splats = splats._replace(means2d=splats.means2d + probes[i])
+            if shard_splats:
+                gathered = jax.tree.map(
+                    lambda x: jax.lax.all_gather(x, "tp", axis=0, tiled=True),
+                    splats,
+                )
+            else:
+                gathered = splats
+            out = render_from_splats(
+                gathered, width, band_h, aug_arr[i, :3], capacity=capacity,
+                chunk=chunk, pixel_offset_y=band, interpret=interpret,
+            )
+            # --- disparity normalize with cross-band reductions --------
+            focal = 1.0 / (2.0 * cam["tanfovx"])
+            disp = focal / (out["depth"] + out["alpha"] * 10.0 + 1e-5)
+            empty = out["alpha"] <= 0.1
+            # cross-band reductions via all_gather (differentiable —
+            # pmin/pmax have no JVP rule; the gather's transpose routes
+            # the normalization gradient to the owning band, matching
+            # the single-device argmin/argmax subgradient)
+            stats = jax.lax.all_gather(
+                jnp.stack([
+                    jnp.min(jnp.where(empty, disp, jnp.inf)),
+                    jnp.min(disp),
+                    -jnp.max(disp),
+                    -jnp.any(empty).astype(jnp.float32),
+                ]), "tp")                                 # [n_tp, 4]
+            any_empty = jnp.min(stats[:, 3]) < -0.5
+            min_d = jnp.where(any_empty, jnp.min(stats[:, 0]),
+                              jnp.min(stats[:, 1]))
+            max_disp = -jnp.min(stats[:, 2])
+            disp = jnp.clip((disp - min_d) / (max_disp - min_d), 0.0, 1.0)
+            images.append(out["image"])
+            disps.append(disp[None])
+            alphas.append(out["alpha"][None])
+            n_entries = jnp.maximum(n_entries, out["n_entries"])
+            n_dropped = jnp.maximum(n_dropped, out["n_dropped"])
+            if i == b_local - 1:
+                # reference quirk: densify stats come from the LAST
+                # camera only — select the dp rank owning camera B-1
+                owns_last = (g == c_batch - 1).astype(jnp.float32)
+                radii_sel = jax.lax.psum(
+                    splats.radii.astype(jnp.float32) * owns_last, "dp")
+                vis_sel = jax.lax.psum(
+                    splats.visible.astype(jnp.float32) * owns_last, "dp")
+                sm_local = jnp.sum(scales * active[:, None])
+                sden = jnp.sum(active) * 3.0
+                if shard_splats:
+                    sm_local = jax.lax.psum(sm_local, "tp")
+                    sden = jax.lax.psum(sden, "tp")
+                scales_mean = jax.lax.psum(
+                    sm_local * owns_last, "dp") / jnp.maximum(
+                        jax.lax.psum(sden * owns_last, "dp"), 1.0)
+
+        n_entries = jax.lax.pmax(jax.lax.pmax(n_entries, "tp"), "dp")
+        n_dropped = jax.lax.pmax(jax.lax.pmax(n_dropped, "tp"), "dp")
+        return (jnp.stack(images), jnp.stack(disps), jnp.stack(alphas),
+                radii_sel.astype(jnp.int32), vis_sel > 0.5,
+                scales_mean.reshape(1), n_entries.reshape(1),
+                n_dropped.reshape(1))
+
+    return render_fn
+
+
 def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
                             sh_degree: int, capacity: int, n_rungs: int = 1,
                             guidance_scale: float = 7.5, chunk: int = 256,

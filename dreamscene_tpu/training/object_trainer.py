@@ -194,6 +194,16 @@ class ObjectTrainer:
         self.rec_count = 0
         self.guidance = guidance
         self._jit_cache = {}
+        # multi-chip mesh (parallelParams: dp cameras x tp tile-bands,
+        # optionally splat-sharded) — None = single-device path
+        par = getattr(cfg, "parallelParams", None)
+        self.mesh = None
+        self.shard_splats = False
+        if par is not None and par.dp * par.tp > 1:
+            from dreamscene_tpu.parallel.sharded_render import make_mesh
+
+            self.mesh = make_mesh(par.dp, par.tp)
+            self.shard_splats = bool(par.shard_splats)
         from dreamscene_tpu.training.capacity import CapacityController
 
         self.cap_ctrl = CapacityController()
@@ -242,13 +252,44 @@ class ObjectTrainer:
         lambda_guidance = self.guidance_opt.lambda_guidance
         interpret = self.interpret
 
+        mesh_render = None
+        if self.mesh is not None:
+            from dreamscene_tpu.parallel.sharded_render import (
+                make_fps_camera_render,
+            )
+
+            mesh_render = make_fps_camera_render(
+                self.mesh, width, height, sh_degree=active_deg,
+                capacity=capacity, c_batch=c_batch,
+                shard_splats=self.shard_splats, interpret=interpret,
+            )
+
         @jax.jit
         def step(params, opt, aux, cam_stack, aug_arr, text_emb, ladder_ts,
                  noise, vae_key, flip, as_latent, lrs):
             active = aux.active
             probes = jnp.zeros((c_batch, params.xyz.shape[0], 2), jnp.float32)
 
-            def loss_fn(p, probes):
+            def loss_fn_mesh(p, probes):
+                state = dataclasses.replace(self.state, params=p, aux=aux)
+                inputs = dict(
+                    xyz=state.get_xyz,
+                    features=state.get_features,
+                    scaling=state.get_scaling,
+                    rotation=state.get_rotation,
+                    opacities=state.get_opacity[:, 0],
+                    active=active,
+                )
+                (images, depths, alphas, radii, visible, scales_mean,
+                 n_entries, n_dropped) = mesh_render(
+                    inputs, cam_stack, aug_arr, probes, vae_key)
+                return images, depths, alphas, {
+                    "radii": radii, "visible": visible,
+                    "scales_mean": scales_mean[0],
+                    "n_entries": n_entries[0], "n_dropped": n_dropped[0],
+                }
+
+            def loss_fn_loop(p, probes):
                 images, depths, alphas = [], [], []
                 aux_out = {}
                 state = dataclasses.replace(self.state, params=p, aux=aux)
@@ -281,7 +322,8 @@ class ObjectTrainer:
                         tanfovy=cam["tanfovy"], width=width, height=height,
                         bg=aug_arr[i, :3], sh_degree=active_deg,
                         capacity=capacity, means2d_probe=probes[i],
-                        interpret=interpret,
+                        valid_mask=active,   # inactive capacity rows must
+                        interpret=interpret,  # not render (ghost splats)
                     )
                     focal = 1.0 / (2.0 * cam["tanfovx"])
                     disp = focal / (out["depth"] + out["alpha"] * 10.0 + 1e-5)
@@ -312,9 +354,13 @@ class ObjectTrainer:
                             scales * active[:, None]
                         ) / (jnp.sum(active) * 3.0)
 
-                images = jnp.stack(images)            # [B,3,H,W]
-                depths = jnp.stack(depths)            # [B,1,H,W]
-                alphas = jnp.stack(alphas)
+                return (jnp.stack(images), jnp.stack(depths),
+                        jnp.stack(alphas), aux_out)   # [B,3,H,W] etc.
+
+            def loss_fn(p, probes):
+                images, depths, alphas, aux_out = (
+                    loss_fn_mesh if mesh_render is not None else loss_fn_loop
+                )(p, probes)
 
                 images_f, depths_f, alphas_f = mtsd.horizontal_flip(
                     flip, images, depths, alphas
@@ -681,6 +727,7 @@ class ObjectTrainer:
                     tanfovy=cam["tanfovy"], width=width, height=height,
                     bg=jnp.zeros((3,)), sh_degree=active_deg,
                     capacity=capacity, means2d_probe=probe,
+                    valid_mask=aux.active,  # no ghost inactive rows
                     interpret=interpret,
                 )
                 loss = 100.0 * jnp.mean((out["image"] - gt_image) ** 2)

@@ -121,6 +121,20 @@ class GenerateCamParams:
 
 
 @dataclass
+class ParallelParams:
+    """Mesh layout for multi-chip training (no reference counterpart —
+    the reference's only 'distribution' is a second CUDA device for SD,
+    SURVEY.md §2 parallelism inventory; the TPU build defines the
+    parallelism itself). dp shards the C_batch camera batch + guidance
+    ladder; tp shards image tile-bands (and, with shard_splats, the
+    splat axis: params/Adam state/projection split 1/tp, projected
+    records all_gathered, grads psum_scattered back over ICI)."""
+    dp: int = 1
+    tp: int = 1
+    shard_splats: bool = False
+
+
+@dataclass
 class GuidanceParams:
     # reference: config.py:120-166
     random_delta: bool = False
@@ -207,6 +221,7 @@ class ParamsGroups:
     generateCamParams: GenerateCamParams = field(default_factory=GenerateCamParams)
     sceneGenerateCamParams: GenerateCamParams = field(default_factory=GenerateCamParams)
     guidanceParams: GuidanceParams = field(default_factory=GuidanceParams)
+    parallelParams: ParallelParams = field(default_factory=ParallelParams)
     editParams: Optional[Dict] = None
     seed: int = 0
     log: Optional[Dict] = None
@@ -227,6 +242,7 @@ class ObjectsParamsGroups:
     pipelineParams: PipelineParams = field(default_factory=PipelineParams)
     generateCamParams: GenerateCamParams = field(default_factory=GenerateCamParams)
     guidanceParams: GuidanceParams = field(default_factory=GuidanceParams)
+    parallelParams: ParallelParams = field(default_factory=ParallelParams)
     objectParams: ObjectParams = field(default_factory=ObjectParams)
     seed: int = 0
     log: Optional[Dict] = None

@@ -21,6 +21,13 @@ def main():
         format="%(asctime)s %(levelname)s %(message)s",
     )
 
+    # multi-host runtime (no-op single-process; JAX_NUM_PROCESSES /
+    # JAX_COORDINATOR_ADDRESS bring up jax.distributed BEFORE any device
+    # use — parallel/distributed.py)
+    from dreamscene_tpu.parallel.distributed import initialize_runtime
+
+    initialize_runtime()
+
     cfg = load_config(args.config, args.overrides, object_mode=args.object)
     if args.object:
         from dreamscene_tpu.training.object_trainer import ObjectTrainer
