@@ -657,17 +657,12 @@ class SceneTrainer:
         return loss
 
     # ------------------------------------------------------------------
-    def scene_refine_phase(self, only_env, scene_optim):
-        """Stage-3 (reference scene_refine_step[_outdoor],
-        scene_trainer.py:1082-1958): one-shot pseudo-GT set, then per-view
-        L2*100 recon steps with densify + opacity resets."""
-        optp = self.cfg.reconSceneOptimizationParams
-        self.guidance.stage_range = (140, 200)
-        self.guidance.jump_range = (75, 150)
-        cams = self.scene_cams[:self.gt_size]
-        key_gs = "all"
-
-        # pseudo-GT generation
+    def _pseudo_gt_bank(self, cams, only_env):
+        """One pseudo-GT image per camera, C_batch at a time (reference
+        gt_images / gt_images_floor banks, scene_trainer.py:1596-1735 —
+        the two banks share ONE camera list there: scene_cams_floor is
+        scene_cams shuffled IN PLACE at :580-581, so only the guidance
+        noise draws differ between banks)."""
         gts = []
         names = self._visible_names(only_env)
         states = self._states(names)
@@ -699,13 +694,51 @@ class SceneTrainer:
                 self.guidance.mods, scores, self.guidance_opt.guidance_scale
             )
             gts.extend(list(gt))
+        return gts
+
+    def scene_refine_phase(self, only_env, scene_optim):
+        """Stage-3 (reference scene_refine_step[_outdoor],
+        scene_trainer.py:1082-1958): one-shot pseudo-GT bank(s), then
+        per-view L2*100 recon steps with densify + opacity resets.
+
+        Indoor: key "all" — one bank, every model (incl. objects, via
+        scene_optim) optimized (reference :620-622 else-branch ->
+        scene_refine_step("all")).
+
+        Outdoor: the reference builds TWO pseudo-GT banks (gt_images +
+        gt_images_floor, :1687-1735) over the SAME camera list, but its
+        driver passes key_gs="floor" on EVERY iteration (:620) — so only
+        the floor model is optimized/densified/reset against the floor
+        bank and the env bank is generated-then-never-read (env was
+        already trained in stages 1-2). We route by the same keys and
+        build banks lazily per key actually used, skipping the
+        reference's dead env-bank compute; the `keys` schedule below is
+        the single place to restore any alternation. One dropped quirk:
+        the reference casts
+        the rendered image to fp16 before the L2 (:1745) — we keep f32
+        (strictly more precise)."""
+        optp = self.cfg.reconSceneOptimizationParams
+        self.guidance.stage_range = (140, 200)
+        self.guidance.jump_range = (75, 150)
+        cams = self.scene_cams[:self.gt_size]
+        outdoor = self.cam_pose_method == "outdoor"
+        keys = ["floor"] if outdoor else ["all"]
+
+        banks = {k: self._pseudo_gt_bank(cams, only_env)
+                 for k in dict.fromkeys(keys)}
 
         rec_count = 0
         for it in range(self.n_stage3):
             self.step += 1
+            key_gs = keys[it % len(keys)]
+            env_on = key_gs in ("env", "all")
+            floor_on = key_gs in ("floor", "all")
             if self.step % 300 == 0:
-                self.scene.env = self.scene.env.one_up_sh_degree()
-                self.scene.floor = self.scene.floor.one_up_sh_degree()
+                if env_on:
+                    self.scene.env = self.scene.env.one_up_sh_degree()
+                if floor_on:
+                    self.scene.floor = self.scene.floor.one_up_sh_degree()
+            gts = banks[key_gs]
             for i in range(len(gts)):
                 rec_count += 1
                 self._run_scene_step(
@@ -715,13 +748,18 @@ class SceneTrainer:
                 if rec_count % optp.densification_interval == 0:
                     size_thr = (20 if self.step > optp.opacity_reset_interval
                                 else None)
-                    self._densify_model("env", optp, optp.max_point_number,
-                                        size_thr)
-                    self._densify_model("floor", optp,
-                                        optp.max_point_number // 3, size_thr)
+                    if env_on:
+                        self._densify_model("env", optp,
+                                            optp.max_point_number, size_thr)
+                    if floor_on:
+                        self._densify_model("floor", optp,
+                                            optp.max_point_number // 3,
+                                            size_thr)
                 if rec_count % optp.opacity_reset_interval == 0:
-                    self.scene.env = D.reset_opacity(self.scene.env)
-                    self.scene.floor = D.reset_opacity(self.scene.floor)
+                    if env_on:
+                        self.scene.env = D.reset_opacity(self.scene.env)
+                    if floor_on:
+                        self.scene.floor = D.reset_opacity(self.scene.floor)
 
     # ------------------------------------------------------------------
     def scene_video_inference(self, tag, only_env=False, max_frames=None):
