@@ -128,7 +128,10 @@ def main():
         "",
         "60K splats at 256^2, tiny-guidance FPS step, interpret-mode",
         "kernels (CPU). Generated by scripts/scaling_report.py.",
+        "",
     ]
+    from comm_model import section_lines
+    lines += section_lines()
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PARALLELISM.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -8,7 +8,9 @@ Checks the CPU-interpret CI cannot do:
      tests/test_capacity_overflow.py on CPU).
   2. full-scale (300K splats, 512^2, bench scene, overflowing): compiled
      TPU vs the SAME Pallas path in interpret mode on the SAME TPU
-     backend — identical projection floats and identical drop set, so a
+     backend — forward images AND bench-loss parameter gradients (the
+     full _bwd_kernel + VJP chain at bench scale) — identical projection
+     floats and identical drop set, so a
      difference beyond small-rounding scale is a Mosaic compilation bug.
      NOT bit-exact by design: Mosaic's exp/log/matmul lowerings round
      differently from XLA's (measured per-op 3e-6..6e-5 on v5e), and the
@@ -99,8 +101,11 @@ report["mid_alpha_atol"] = alpha_err
 report["mid_grad_rel"] = grad_err
 if img_err > 1e-3 or alpha_err > 1e-3:
     fail("mid_forward", "exceeds 1e-3")
-if grad_err > 1e-2:
-    fail("mid_grad", "exceeds 1e-2 relative")
+if grad_err > 5e-3:
+    # measured 3.7e-3 on v5e (bf16 split-dot rounding in the moment
+    # matmuls vs the f64-free CPU golden); gate tightened from the
+    # round-2 1e-2 to sit just above the measured floor
+    fail("mid_grad", "exceeds 5e-3 relative")
 
 # ---- 2. full-scale compiled-vs-interpret, same TPU backend ---------------
 big = build_scene(300_000)
@@ -115,8 +120,35 @@ def full(means3d, interpret):
     return out["image"], out["alpha"], out["n_dropped"]
 
 
+def full_loss(params, interpret):
+    # the bench step's loss — exercises _bwd_kernel + the full VJP chain
+    # (grad gather, cumsum, boundary, moment matmuls) at bench scale
+    out = render(**params, **bkw, bg=bg, sh_degree=2,
+                 capacity=cap, interpret=interpret)
+    return (jnp.mean(out["image"]) + 0.1 * jnp.mean(out["depth"])
+            + 0.01 * jnp.mean(out["alpha"]))
+
+
 img_c, alpha_c, nd_c = jax.jit(lambda m: full(m, False))(big["means3d"])
 img_i, alpha_i, nd_i = jax.jit(lambda m: full(m, True))(big["means3d"])
+
+# full-scale GRADIENTS, compiled vs interpret (same backend, same drop
+# set): a Mosaic miscompile confined to _bwd_kernel's moment-matmul path
+# would pass the forward gate — this catches it (VERDICT r2 item 4)
+g_c = jax.jit(jax.grad(lambda p: full_loss(p, False)))(big)
+g_i = jax.jit(jax.grad(lambda p: full_loss(p, True)))(big)
+for k in ("means3d", "opacities", "scales"):
+    dc, di = np.asarray(g_c[k]).ravel(), np.asarray(g_i[k]).ravel()
+    scale = max(float(np.abs(di).max()), 1e-12)
+    rel = np.abs(dc - di) / scale
+    report[f"full_grad_{k}_p999"] = float(np.quantile(rel, 0.999))
+    report[f"full_grad_{k}_max"] = float(rel.max())
+    # same quantile philosophy as the forward: bulk at compounded
+    # rounding scale, isolated threshold-flip splats allowed at max
+    if report[f"full_grad_{k}_p999"] > 5e-3:
+        fail(f"full_grad_{k}_bulk", "p999 exceeds rounding scale")
+    if report[f"full_grad_{k}_max"] > 5e-2:
+        fail(f"full_grad_{k}_max", "max rel exceeds 5e-2")
 
 d_img = np.abs(np.asarray(img_c) - np.asarray(img_i)).ravel()
 d_alpha = np.abs(np.asarray(alpha_c) - np.asarray(alpha_i)).ravel()
