@@ -481,8 +481,15 @@ class ObjectTrainer:
             for k, v in group_lrs(optim, st.spatial_lr_scale, self.step).items()
         }
 
+        # entry capacity is PER TILE-BAND: each band bins only its own
+        # tiles, so a mesh with n_tp bands sees ~1/n_tp of the entries —
+        # the controller reasons about the per-band table it actually
+        # feeds (floor keeps tiny tests off the degenerate 0 row count)
+        n_band = (st.capacity // self.mesh.shape["tp"]
+                  if self.mesh is not None else st.capacity)
+        n_band = max(n_band, 4096)
         step_fn = self._fps_step_fn(
-            len(ladder), self.cap_ctrl.capacity(st.capacity), c_batch,
+            len(ladder), self.cap_ctrl.capacity(n_band), c_batch,
             st.active_sh_degree,
             use_cn=self.guidance.use_controlnet(self.step, optim),
         )
@@ -499,7 +506,7 @@ class ObjectTrainer:
         # TPU tunnel), three of which were pure pipeline-stall latency
         loss, n_entries, n_dropped = jax.device_get(
             (loss, n_entries, n_dropped))
-        if self.cap_ctrl.update(st.capacity, int(n_entries), int(n_dropped)):
+        if self.cap_ctrl.update(n_band, int(n_entries), int(n_dropped)):
             logger.info("entry capacity multiplier -> %dx (entries %d, "
                         "dropped %d)", self.cap_ctrl.mult, int(n_entries),
                         int(n_dropped))

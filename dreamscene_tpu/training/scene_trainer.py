@@ -136,6 +136,18 @@ class SceneTrainer:
         self.scene_cfg = sc.get("scene") or {}
         self.cam_pose_method = self.scene_cfg.get("cam_pose_method", "indoor")
 
+        # multi-chip mesh (parallelParams, same semantics as
+        # ObjectTrainer: dp cameras x tp tile-bands; shard_splats also
+        # splits the CONCATENATED multi-model splat axis when divisible)
+        par = getattr(cfg, "parallelParams", None)
+        self.mesh = None
+        self.shard_splats = False
+        if par is not None and par.dp * par.tp > 1:
+            from dreamscene_tpu.parallel.sharded_render import make_mesh
+
+            self.mesh = make_mesh(par.dp, par.tp)
+            self.shard_splats = bool(par.shard_splats)
+
     # ------------------------------------------------------------------
     def object_task(self, obj_cfg: dict):
         """Train (or load) one object (reference: scene_trainer.py:337-346)."""
@@ -360,7 +372,7 @@ class SceneTrainer:
         from dreamscene_tpu.ops.losses import tv_loss
         from dreamscene_tpu.ops.rasterizer import render as rrender
 
-        def render_concat(params_list, actives, cam, bg, probe):
+        def concat_fields(params_list, actives):
             fields = {"means3d": [], "scales": [], "quats": [],
                       "opacities": [], "shs": [], "valid": []}
             for p, act, deg in zip(params_list, actives, degrees):
@@ -377,20 +389,39 @@ class SceneTrainer:
                     sh = jnp.pad(sh, ((0, 0), (0, k_max - sh.shape[1]), (0, 0)))
                 fields["shs"].append(sh)
                 fields["valid"].append(act)
+            return {k: jnp.concatenate(v) for k, v in fields.items()}
+
+        def render_concat(params_list, actives, cam, bg, probe):
+            fields = concat_fields(params_list, actives)
             out = rrender(
-                means3d=jnp.concatenate(fields["means3d"]),
-                scales=jnp.concatenate(fields["scales"]),
-                quats=jnp.concatenate(fields["quats"]),
-                opacities=jnp.concatenate(fields["opacities"]),
-                shs=jnp.concatenate(fields["shs"]),
+                means3d=fields["means3d"], scales=fields["scales"],
+                quats=fields["quats"], opacities=fields["opacities"],
+                shs=fields["shs"],
                 viewmatrix=cam["view"], projmatrix=cam["proj"],
                 campos=cam["campos"], tanfovx=cam["tanfovx"],
                 tanfovy=cam["tanfovy"], width=width, height=height, bg=bg,
                 sh_degree=sh_degree, capacity=raster_capacity,
-                valid_mask=jnp.concatenate(fields["valid"]),
+                valid_mask=fields["valid"],
                 means2d_probe=probe, interpret=interpret,
             )
             return out
+
+        mesh_render = None
+        if self.mesh is not None:
+            from dreamscene_tpu.parallel.sharded_render import (
+                make_fps_camera_render,
+            )
+
+            n_tp = self.mesh.shape["tp"]
+            # the concatenated multi-model splat axis is only tp-shardable
+            # when it divides evenly; otherwise fall back to replicated
+            # splats (bands still shard the pixels)
+            mesh_render = make_fps_camera_render(
+                self.mesh, width, height, sh_degree=sh_degree,
+                capacity=max(raster_capacity // n_tp, 4096), c_batch=c_batch,
+                shard_splats=(self.shard_splats and total_c % n_tp == 0),
+                interpret=interpret,
+            )
 
         @jax.jit
         def step(params_list, opt_list, aux_list, cam_stack, bg_stack,
@@ -398,7 +429,28 @@ class SceneTrainer:
                  lrs_list, gt_images):
             actives = tuple(a.active for a in aux_list)
 
-            def loss_fn(params_list, probes):
+            def loss_fn_mesh(params_list, probes):
+                """SPMD render: one shard_map over (dp cameras, tp tile
+                bands) replaces the per-camera loop; aug coefficients are
+                zero so make_fps_camera_render's noise terms vanish and
+                the computation matches render_concat exactly."""
+                fields = concat_fields(params_list, actives)
+                inputs = dict(
+                    xyz=fields["means3d"], features=fields["shs"],
+                    scaling=fields["scales"], rotation=fields["quats"],
+                    opacities=fields["opacities"], active=fields["valid"],
+                )
+                aug = jnp.concatenate(
+                    [bg_stack, jnp.zeros((c_batch, 3), jnp.float32)], axis=1)
+                (images, depths, alphas, radii, visible, _sm, n_ent,
+                 n_drop) = mesh_render(inputs, cam_stack, aug, probes,
+                                       vae_key)
+                return images, depths, alphas, {
+                    "radii": radii, "visible": visible,
+                    "n_entries": n_ent[0], "n_dropped": n_drop[0],
+                }
+
+            def loss_fn_loop(params_list, probes):
                 images, depths, alphas = [], [], []
                 aux_out = {}
                 for i in range(c_batch):
@@ -431,9 +483,13 @@ class SceneTrainer:
                         aux_out["radii"] = out["radii"]
                         aux_out["visible"] = out["visibility_filter"]
 
-                images = jnp.stack(images)
-                depths = jnp.stack(depths)
-                alphas = jnp.stack(alphas)
+                return (jnp.stack(images), jnp.stack(depths),
+                        jnp.stack(alphas), aux_out)
+
+            def loss_fn(params_list, probes):
+                images, depths, alphas, aux_out = (
+                    loss_fn_mesh if mesh_render is not None else loss_fn_loop
+                )(params_list, probes)
 
                 if guidance_on:
                     images_f, depths_f, alphas_f = mtsd.horizontal_flip(
@@ -591,8 +647,12 @@ class SceneTrainer:
         # separate int()/float() is its own ~1.5 ms tunnel round-trip)
         loss, n_entries, n_dropped = jax.device_get(
             (loss, n_entries, n_dropped))
-        if self.cap_ctrl.update(sum(capacities) // 2, int(n_entries),
-                                int(n_dropped)):
+        # n_entries/n_dropped are per tile-band in mesh mode — feed the
+        # controller the per-band table base it actually sized
+        cap_base = sum(capacities) // 2
+        if self.mesh is not None:
+            cap_base = max(cap_base // self.mesh.shape["tp"], 4096)
+        if self.cap_ctrl.update(cap_base, int(n_entries), int(n_dropped)):
             logger.info("scene entry capacity multiplier -> %dx/2",
                         self.cap_ctrl.mult)
 

@@ -219,3 +219,46 @@ class TestTrainerMesh:
         loss = tr.train_step()
         assert np.isfinite(loss)
         assert not np.allclose(np.asarray(tr.state.params.xyz), xyz0)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSceneTrainerMesh:
+    """parallelParams routes the multi-model SCENE step through the same
+    shard_map (dp cameras x tp tile bands over the concatenated splat
+    axis); the mesh run must reproduce the single-device trajectory."""
+
+    def test_scene_mesh_step_matches_single_device(self, tmp_path):
+        from dreamscene_tpu.training.scene_trainer import SceneTrainer
+        from tests.test_trainers import tiny_scene_cfg
+
+        def make(dp=1, tp=1, shard=False):
+            cfg = tiny_scene_cfg(tmp_path)
+            cfg.parallelParams.dp = dp
+            cfg.parallelParams.tp = tp
+            cfg.parallelParams.shard_splats = shard
+            tr = SceneTrainer(cfg, exp_root=str(tmp_path), interpret=True,
+                              env_density=0.0003)
+            for oc in tr.scene_objects:
+                tr.object_task(oc)
+            tr.prepare_train_scene()
+            return tr
+
+        make()          # throwaway: trains + caches the object PLY once,
+        # so the two compared trainers both take the skip path and start
+        # from identical guidance/rng state
+        trainers = [make(), make(dp=2, tp=2, shard=True)]
+        losses = []
+        for tr in trainers:
+            tr.iters = 2          # train() sets these before stepping
+            tr.step = 0
+            cams = tr._stage1_cams(tr.guidance_opt.C_batch_size)
+            losses.append(tr.scene_train_step(cams, "env", only_env=False))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(trainers[0].scene.env.params.xyz),
+            np.asarray(trainers[1].scene.env.params.xyz), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(trainers[0].scene.floor.params.xyz),
+            np.asarray(trainers[1].scene.floor.params.xyz), atol=1e-4)

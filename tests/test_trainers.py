@@ -140,3 +140,33 @@ class TestSceneTrainer:
         names = os.listdir(tr.scene_ckpt_path)
         assert any("1_stage" in n for n in names)
         assert any("2_stage" in n for n in names)
+
+    def test_outdoor_refine_optimizes_floor_only(self, tmp_path):
+        """Outdoor stage-3 key routing (reference scene_refine_step_outdoor
+        driven with key_gs='floor' every iteration): the floor model must
+        update against its pseudo-GT bank while the env model — already
+        trained in stages 1-2 — stays bit-identical."""
+        from dreamscene_tpu.training.scene_trainer import SceneTrainer
+
+        cfg = tiny_scene_cfg(tmp_path)
+        cfg.scene_configs["scene"]["cam_pose_method"] = "outdoor"
+        tr = SceneTrainer(cfg, exp_root=str(tmp_path), interpret=True,
+                          env_density=0.0003)
+        for obj_cfg in tr.scene_objects:
+            tr.object_task(obj_cfg)
+        tr.prepare_train_scene()
+        tr.scene.stage_n = 2          # jump straight to the refine stage
+        tr.step = 0
+        c_batch = tr.guidance_opt.C_batch_size
+        tr.scene_cams = tr._stage3_cams(2 * c_batch)
+        tr.gt_size = len(tr.scene_cams) // 4 * 4
+        assert tr.gt_size >= 4
+        tr.n_stage3 = 1
+
+        env0 = np.asarray(tr.scene.env.params.xyz).copy()
+        floor0 = np.asarray(tr.scene.floor.params.xyz).copy()
+        tr.scene_refine_phase(only_env=True, scene_optim=False)
+        np.testing.assert_array_equal(np.asarray(tr.scene.env.params.xyz),
+                                      env0)
+        assert not np.allclose(np.asarray(tr.scene.floor.params.xyz),
+                               floor0)
