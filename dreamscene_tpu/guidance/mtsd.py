@@ -73,6 +73,27 @@ class GuidanceModules(NamedTuple):
     controlnet_params: Any = None
 
 
+def mods_params(mods: GuidanceModules):
+    """The weight pytrees of a GuidanceModules, for passing into jitted
+    step functions as ARGUMENTS. Closing over `mods` inside a jit bakes
+    the full SD stack (3.4 GB at SD2.1 scale) into the lowered module as
+    captured constants — every re-jit (capacity/ladder change) then
+    re-serializes the weights, which the remote-compile tunnel turns
+    into multi-minute compiles."""
+    return dict(unet=mods.unet_params, vae_enc=mods.vae_encode_params,
+                vae_dec=mods.vae_decode_params, cn=mods.controlnet_params)
+
+
+def with_params(mods: GuidanceModules, p) -> GuidanceModules:
+    """Rebind the weight pytrees (inverse of `mods_params`) — used at the
+    top of a jitted step to reconstruct the callable+param bundle from
+    traced arguments."""
+    return mods._replace(
+        unet_params=p["unet"], vae_encode_params=p["vae_enc"],
+        vae_decode_params=p["vae_dec"], controlnet_params=p["cn"],
+    )
+
+
 def encode_images(mods: GuidanceModules, images_nchw, key):
     """VAE-encode [B,3,H,W] images in [0,1] -> latents [B,h,w,4]
     (reference encode_imgs, multitime_sd_utils.py:639-647; posterior

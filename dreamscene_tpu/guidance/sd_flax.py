@@ -100,19 +100,18 @@ class ResnetBlock(nn.Module):
 
 
 def _use_flash_attention(n: int, m: int) -> bool:
-    """Pallas TPU flash attention for big self-attention resolutions.
-
-    The naive path materializes [b, h, n, m] scores — at SD's 64x64
-    latent level (n = 4096, bf16, 3-way CFG batch) that is GBs of HBM
-    traffic per layer; the flash kernel streams K/V blocks and never
-    writes the matrix. Self-attention only (cross-attention kv is the
-    77-token text — the matrix is tiny and 77 breaks the 128-lane block
-    granularity). The guidance UNet is forward-only (CSD assembles
-    gradients algebraically; reference guidance/multitime_sd_utils.py
-    runs the UNet under no_grad); the VAE encoder path also uses the
-    kernel's custom VJP.
+    """Pallas TPU flash attention for big self-attention resolutions —
+    OFF by default after the round-3 on-chip A/B (scripts/flash_ab.py,
+    v5e, SD2.1 arch, seq 4096/head_dim 64): flash 38.4 ms vs XLA-naive
+    37.0 ms for the UNet forward and a tie for the VAE encode+grad —
+    XLA already fuses softmax(QK^T)V without materializing the score
+    matrix at these shapes. The kernel stays (DS_FLASH_ATTN=1 forces it
+    on) for shapes/batches where score materialization would blow HBM.
+    Self-attention only (cross-attention kv is the 77-token text — the
+    matrix is tiny and 77 breaks the 128-lane block granularity); the
+    VAE encoder path uses the kernel's custom VJP.
     """
-    if os.environ.get("DS_NO_FLASH_ATTN") == "1":
+    if os.environ.get("DS_FLASH_ATTN") != "1":
         return False
     return (n == m and n >= 1024 and n % 128 == 0
             and jax.default_backend() == "tpu")

@@ -46,7 +46,6 @@ Pixel layout: each tile's 256 pixels are a row-major [16,16] flattened to
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -54,14 +53,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dreamscene_tpu.ops.binning import TILE, TILE_PIX
-
-# Candidate (ROADMAP "Perf next" item 1): evaluate the Gaussian exponent
-# as a pixel-moment MXU matmul — power[p,g] = mom(p) . coef(g) with the
-# 6 coef rows per entry (quadratic form expanded in tile-recentered
-# pixel coords) — replacing ~11 [256, CHUNK] VPU ops per chunk in BOTH
-# kernels with one 8-deep matmul (3 bf16 passes, see _power_dot). The
-# lane mask folds into the coef rows (masked lanes: power == +50).
-_POWER_MATMUL = os.environ.get("DS_POWER_MATMUL") == "1"
 
 # Kernel matmuls NEVER run at the TPU default single-pass bf16: it
 # rounds operands to 8 mantissa bits, putting ~4e-3 relative error into
@@ -150,34 +141,6 @@ def _split_dot(x, u_exact, dims=(((1,), (0,)), ((), ()))):
     return _dot(xhi, ub, dims) + _dot(xlo, ub, dims)
 
 
-def _bf16_split3(x):
-    """f32 -> (hi, mid, lo) bf16 triple, hi+mid+lo ~= x to 24 mantissa
-    bits — f32-class accuracy from three single-pass MXU products when
-    the other operand is exactly bf16-representable."""
-    hi = x.astype(jnp.bfloat16)
-    r = x - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
-
-
-def _power_dot(mom_b, coef):
-    """power = mom^T @ coef as three single-pass bf16 MXU products.
-
-    mom_b [N_MOM, 256] is EXACTLY bf16-representable (entries are
-    k*j/4 with |k|,|j| <= 15 — <= 8 significant bits), so splitting only
-    `coef` to 24 bits gives |err| ~ max|coef|*2^-24 per term. Surviving
-    (capsule-culled) entries have |coef . mom| terms bounded by ~1e3
-    (larger constant terms imply power < -ln(255) across the whole tile,
-    which the in-kernel cull already removed), keeping the absolute
-    exponent error at the ~1e-4 class — inside the kernel parity budget.
-    The 8-deep contraction is ~6% of one 128-deep prefix-block pass."""
-    dims = (((0,), (0,)), ((), ()))
-    hi, mid, lo = _bf16_split3(coef)
-    return (_dot(mom_b, hi, dims) + _dot(mom_b, mid, dims)
-            + _dot(mom_b, lo, dims))
-
-
 def _split_dot2(x, y, dims=(((1,), (0,)), ((), ()))):
     """x @ y with BOTH operands split (3 passes hi*hi + hi*lo + lo*hi =
     Precision.HIGH accuracy, ~2^-21 per-term error). Used instead of a
@@ -222,16 +185,13 @@ def _blocked_prefix(z, inclusive):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
-def _chunk_alpha(rec, px, py, t_carry_col, lo, hi, mom_b=None, xy0=None):
+def _chunk_alpha(rec, px, py, t_carry_col, lo, hi):
     """Shared forward math for one chunk, pixels-on-sublanes layout.
 
     Args:
       rec: [REC_WIDTH, CHUNK] field-major records; px/py: [256, 1];
       t_carry_col: [256, 1]; lanes outside [lo, hi) are masked out
       (they belong to a neighboring tile's run).
-      mom_b/xy0: when given (DS_POWER_MATMUL), the exponent is evaluated
-      as mom^T @ coef (see _power_dot) with the lane mask folded into
-      the coef rows; px/py are then unused.
     Returns dict of [256, CHUNK] / [256, 1] intermediates.
     """
     chunk = rec.shape[1]
@@ -244,40 +204,14 @@ def _chunk_alpha(rec, px, py, t_carry_col, lo, hi, mom_b=None, xy0=None):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     lanemask = (lane >= lo) & (lane < hi)
 
-    if mom_b is not None:
-        # quadratic form expanded in tile-recentered pixel coords: the
-        # [1, CHUNK] coef rows cost 1/256th of the [256, CHUNK] chain
-        # they replace; the matmul rides otherwise-idle MXU cycles
-        x0f, y0f = xy0
-        mxc = mx - x0f - CENTER
-        myc = my - y0f - CENTER
-        c0 = -0.5 * (ca * mxc * mxc + cc * myc * myc) - cb * mxc * myc
-        c1 = ca * mxc + cb * myc
-        c2 = cc * myc + cb * mxc
-        # masked lanes (neighboring tile's run): power == exactly +50 —
-        # alpha zeroed by the power > 0 gate, exp stays finite
-        coef = jnp.concatenate([
-            jnp.where(lanemask, c0, 50.0),
-            jnp.where(lanemask, c1, 0.0),
-            jnp.where(lanemask, c2, 0.0),
-            jnp.where(lanemask, -0.5 * ca, 0.0),
-            jnp.where(lanemask, -0.5 * cc, 0.0),
-            jnp.where(lanemask, -cb, 0.0),
-            jnp.zeros((N_MOM - 6, chunk), jnp.float32),
-        ], axis=0)                                   # [N_MOM, CHUNK]
-        power = _power_dot(mom_b, coef)              # [256, CHUNK]
-        raw = opa * jnp.exp(power)
-        alpha = jnp.minimum(ALPHA_MAX, raw)
-        alpha = jnp.where((power > 0.0) | (raw < ALPHA_MIN), 0.0, alpha)
-    else:
-        dx = mx - px                                 # [256, CHUNK]
-        dy = my - py
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        raw = opa * jnp.exp(power)
-        alpha = jnp.minimum(ALPHA_MAX, raw)
-        alpha = jnp.where(
-            (power > 0.0) | (raw < ALPHA_MIN) | ~lanemask, 0.0, alpha
-        )
+    dx = mx - px                                     # [256, CHUNK]
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = opa * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    alpha = jnp.where(
+        (power > 0.0) | (raw < ALPHA_MIN) | ~lanemask, 0.0, alpha
+    )
 
     q = 1.0 - alpha                                  # in [0.01, 1]
     logq = jnp.log(q)
@@ -319,7 +253,7 @@ def _fwd_kernel(
     # outputs
     out_ref,
     # scratch
-    acc_ref, buf_ref, sem_ref, mom_ref,
+    acc_ref, buf_ref, sem_ref,
     *, tiles_x, chunk,
 ):
     # acc_ref holds the tile state COLUMN-form [256, 8] (pixels on
@@ -330,8 +264,6 @@ def _fwd_kernel(
     # prologue cost, and entry culling grows their number substantially
     n_u = uused_ref[0]
     n_rows = out_ref.shape[0]
-    if _POWER_MATMUL:
-        mom_ref[...] = _pixel_moments()
 
     # init: background state for every tile (incl. never-touched ones)
     out_ref[...] = jnp.zeros((n_rows, ACC_ROWS, TILE_PIX), jnp.float32)
@@ -376,16 +308,9 @@ def _fwd_kernel(
         def _():
             rec = buf_ref[slot]
             x0, y0 = _tile_xy0(t, tiles_x)
-            if _POWER_MATMUL:
-                v = _chunk_alpha(
-                    rec, None, None, acc_ref[:, A_T:A_T + 1],
-                    lo_ref[u], hi_ref[u], mom_ref[...].astype(jnp.bfloat16),
-                    (x0.astype(jnp.float32), y0.astype(jnp.float32)),
-                )
-            else:
-                px, py = _pixel_coords(x0, y0)
-                v = _chunk_alpha(rec, px, py, acc_ref[:, A_T:A_T + 1],
-                                 lo_ref[u], hi_ref[u])
+            px, py = _pixel_coords(x0, y0)
+            v = _chunk_alpha(rec, px, py, acc_ref[:, A_T:A_T + 1],
+                             lo_ref[u], hi_ref[u])
 
             # rgb+depth accumulation: [256, CHUNK] x [4, CHUNK]^T
             acc_new = _split_dot2(
@@ -437,7 +362,6 @@ def composite_forward(
             pltpu.VMEM((TILE_PIX, ACC_ROWS), jnp.float32),
             pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.VMEM((N_MOM, TILE_PIX), jnp.float32),
         ],
     )
     (out,) = pl.pallas_call(
@@ -560,17 +484,9 @@ def _bwd_kernel(
         def _():
             rec = buf_ref[slot]
             x0, y0 = _tile_xy0(t, tiles_x)
+            px, py = _pixel_coords(x0, y0)
             t_carry_col = acc_ref[:, A_T:A_T + 1]
-            if _POWER_MATMUL:
-                v = _chunk_alpha(
-                    rec, None, None, t_carry_col, lo_ref[u], hi_ref[u],
-                    mom_ref[...].astype(jnp.bfloat16),
-                    (x0.astype(jnp.float32), y0.astype(jnp.float32)),
-                )
-            else:
-                px, py = _pixel_coords(x0, y0)
-                v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u],
-                                 hi_ref[u])
+            v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u])
             alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
             q, t_excl = v["q"], v["t_excl"]
 

@@ -330,29 +330,35 @@ def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
     False replicates splats and shards only tiles+cameras."""
     from dreamscene_tpu.guidance import mtsd
 
-    mods = guidance.mods
+    base_mods = guidance.mods
+    mod_params = mtsd.mods_params(base_mods)
     factory = (make_primitive_sharded_render if shard_splats
                else make_sharded_render)
     render_fn = factory(mesh, width, height, sh_degree, capacity,
                         chunk, interpret)
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P(None, "dp"), P()),
-        out_specs=P("dp"),
-        check_vma=False,
-    )
-    def ladder_grad(latents, noise, text_emb3, ts):
+    def ladder_grad_inner(mp, latents, noise, text_emb3, ts):
         # text_emb3: [3, B_local, L, D] -> [3*B_local, L, D] keeping the
         # cond | uncond | inverse block order the ladder expects
+        mods = mtsd.with_params(base_mods, mp)
         t = text_emb3.reshape((-1,) + text_emb3.shape[2:])
         scores = mtsd.ladder_scores(mods, latents, noise, ts, t,
                                     n_rungs=n_rungs)
         return mtsd.csd_grad(mods, scores, guidance_scale)
 
-    @jax.jit
-    def train_step(params: GaussianParams, opt, active, cam_stack, bg,
-                   text_emb3, ladder_ts, noise, vae_key, lrs):
+    ladder_grad = jax.shard_map(
+        ladder_grad_inner, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P(None, "dp"), P()),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def train_step_inner(mp, params: GaussianParams, opt, active, cam_stack,
+                         bg, text_emb3, ladder_ts, noise, vae_key, lrs):
+        # SD weights as arguments (replicated over the mesh), not closure
+        # constants — see mtsd.mods_params
+        mods = mtsd.with_params(base_mods, mp)
         def loss_fn(params):
             q = params.rotation
             inputs = dict(
@@ -368,13 +374,18 @@ def make_sharded_train_step(mesh: Mesh, guidance, width: int, height: int,
             images, alphas = render_fn(inputs, cam_stack, bg)
             latents = mtsd.encode_images(mods, images, vae_key)
             grad = jax.lax.stop_gradient(
-                ladder_grad(jax.lax.stop_gradient(latents), noise, text_emb3,
-                            ladder_ts)
+                ladder_grad(mp, jax.lax.stop_gradient(latents), noise,
+                            text_emb3, ladder_ts)
             )
             return mtsd.specify_gradient_loss(latents, grad)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         new_params, new_opt = adam_update(params, grads, opt, active, lrs)
         return new_params, new_opt, loss
+
+    def train_step(params, opt, active, cam_stack, bg, text_emb3, ladder_ts,
+                   noise, vae_key, lrs):
+        return train_step_inner(mod_params, params, opt, active, cam_stack,
+                                bg, text_emb3, ladder_ts, noise, vae_key, lrs)
 
     return train_step

@@ -243,7 +243,6 @@ class ObjectTrainer:
             return self._jit_cache[key]
 
         g = self.guidance
-        mods = g.mods
         width = self.pose_args.image_w
         height = self.pose_args.image_h
         lambda_tv = self.optim.lambda_tv
@@ -266,7 +265,11 @@ class ObjectTrainer:
 
         @jax.jit
         def step(params, opt, aux, cam_stack, aug_arr, text_emb, ladder_ts,
-                 noise, vae_key, flip, as_latent, lrs):
+                 noise, vae_key, flip, as_latent, lrs, mod_params):
+            # SD weights arrive as ARGUMENTS (mtsd.mods_params) — closing
+            # over `mods` would bake 3.4 GB of captured constants into
+            # every re-jit at real-SD scale
+            mods = mtsd.with_params(g.mods, mod_params)
             active = aux.active
             probes = jnp.zeros((c_batch, params.xyz.shape[0], 2), jnp.float32)
 
@@ -499,6 +502,7 @@ class ObjectTrainer:
             jnp.asarray(ladder, jnp.int32), noise, self.guidance.next_vae_key(),
             jnp.asarray(self.guidance.should_flip()),
             jnp.asarray(as_latent), lrs,
+            mtsd.mods_params(self.guidance.mods),
         )
         self.state = dataclasses.replace(st, params=params, opt=opt, aux=aux)
         # ONE device->host transfer for all per-step scalars: each

@@ -358,7 +358,6 @@ class SceneTrainer:
             return self._jit_cache[key]
 
         g = self.guidance
-        mods = g.mods
         width = self.scene_pose_args.image_w
         height = self.scene_pose_args.image_h
         optp = self.cfg.sceneOptimizationParams
@@ -426,7 +425,10 @@ class SceneTrainer:
         @jax.jit
         def step(params_list, opt_list, aux_list, cam_stack, bg_stack,
                  text_emb, ladder_ts, noise, vae_key, flip, as_latent,
-                 lrs_list, gt_images):
+                 lrs_list, gt_images, mod_params):
+            # SD weights as arguments, not closure constants (3.4 GB of
+            # captured constants per re-jit at real-SD scale)
+            mods = mtsd.with_params(g.mods, mod_params)
             actives = tuple(a.active for a in aux_list)
 
             def loss_fn_mesh(params_list, probes):
@@ -642,6 +644,7 @@ class SceneTrainer:
             self.guidance.next_vae_key(),
             jnp.asarray(self.guidance.should_flip() if guidance_on else False),
             jnp.asarray(as_latent), lrs_list, gt,
+            mtsd.mods_params(self.guidance.mods),
         )
         # one device->host transfer for the per-step scalars (each
         # separate int()/float() is its own ~1.5 ms tunnel round-trip)

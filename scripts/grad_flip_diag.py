@@ -8,8 +8,16 @@ low-opacity/deep splats, NOT a systematic bwd-kernel miscompile
 
 Evidence printed: for the top-K |grad delta| splats — their opacity
 percentile and the fraction of all splats with deltas above tail
-thresholds; a systematic miscompile shows uniform opacity spread and a
-fat bulk, eps-flips show low-opacity concentration and a thin tail.
+thresholds; a systematic miscompile shows a fat bulk, eps-flips a thin
+tail of coherent whole-splat deltas.
+
+MEASURED (2026-08-19, v5e): thin tail confirmed — 482/300000 splats
+>1e-2 on opacities (242 on scales), p99 at 1e-4..5e-4 rounding scale,
+and the top-delta splats are the SAME splats across opacities and
+scales (whole-contribution flips move every parameter of one splat
+coherently — per-op rounding would not correlate across params). One
+correction to the hypothesis: flip splats sit at median opacity, not
+low opacity — the flip horizon is T*P ~ eps (depth), not opacity.
 
 Run on the TPU tunnel: timeout 580 python scripts/grad_flip_diag.py
 """

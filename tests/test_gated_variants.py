@@ -52,42 +52,3 @@ def test_caps_via_sort_identical(monkeypatch):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(z), err_msg=name + " unpacked")
-
-
-def test_power_matmul_matches_default(monkeypatch):
-    """DS_POWER_MATMUL (Gaussian exponent as a pixel-moment MXU matmul,
-    ROADMAP "Perf next" item 1) vs the default VPU chain: the 24-bit
-    coef split bounds the exponent error at ~max|coef|*2^-24, so forward
-    and gradients must agree at the 1e-4-relative class."""
-    import jax
-
-    import dreamscene_tpu.ops.composite as composite
-    import dreamscene_tpu.ops.rasterizer as rasterizer
-    from tests.test_rasterizer_parity import camera_kwargs
-
-    scene = make_scene(n=512, seed=5)
-    cam = make_camera(64, 64)
-
-    def render_grads():
-        def loss(params):
-            out = rasterizer.render(
-                **params, **camera_kwargs(cam),
-                bg=jnp.zeros((3,), jnp.float32), sh_degree=2,
-                capacity=4096, interpret=True,
-            )
-            return (jnp.mean(out["image"]) + 0.1 * jnp.mean(out["depth"])
-                    + 0.01 * jnp.mean(out["alpha"])), out["image"]
-
-        (_, img), g = jax.value_and_grad(loss, has_aux=True)(scene)
-        return np.asarray(img), jax.tree.map(np.asarray, g)
-
-    monkeypatch.setattr(composite, "_POWER_MATMUL", False)
-    img0, g0 = render_grads()
-    monkeypatch.setattr(composite, "_POWER_MATMUL", True)
-    img1, g1 = render_grads()
-
-    np.testing.assert_allclose(img1, img0, atol=5e-5)
-    for k in g0:
-        scale = max(np.abs(g0[k]).max(), 1e-12)
-        np.testing.assert_allclose(g1[k], g0[k], atol=3e-4 * scale,
-                                   err_msg=k)
