@@ -290,9 +290,9 @@ def bin_splats(
     # overlap (a neighbor tile's entries) is masked out via the per-chunk
     # live-lane window [lo, hi).
     assert chunk % ALIGN == 0
-    tile_first = jnp.searchsorted(
-        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    tile_first = _counts_below_sorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), pad_val=n_tiles
+    )
     counts_t = tile_first[1:] - tile_first[:-1]           # [n_tiles]
     s0_full = (tile_first // ALIGN) * ALIGN               # [n_tiles + 1]
     off_t = tile_first[:-1] - s0_full[:-1]                # [0, ALIGN)
@@ -304,9 +304,11 @@ def bin_splats(
     u_used = chunk_base[-1]
 
     u = jnp.arange(n_chunks, dtype=jnp.int32)
-    chunk_tile = (
-        jnp.searchsorted(chunk_base, u, side="right").astype(jnp.int32) - 1
-    )
+    # side="right" searchsorted over the SMALL [n_tiles+1] chunk_base:
+    # one broadcast compare+reduce beats the per-query while-loop
+    chunk_tile = jnp.sum(
+        chunk_base[None, :] <= u[:, None], axis=1
+    ).astype(jnp.int32) - 1
     chunk_tile = jnp.where(u < u_used, chunk_tile, n_tiles)
     tclip = jnp.clip(chunk_tile, 0, n_tiles - 1)
     tpack = jnp.stack(
@@ -366,6 +368,34 @@ def bin_splats(
 
 def cdiv_dyn(a: jnp.ndarray, b: int) -> jnp.ndarray:
     return -(-a // b)
+
+
+_SS_STRIDE = 512
+
+
+def _counts_below_sorted(sorted_vals: jnp.ndarray, t: jnp.ndarray,
+                         pad_val: int) -> jnp.ndarray:
+    """searchsorted-left over a SORTED i32 array, vectorized for TPU:
+    jnp.searchsorted lowers to a per-query binary-search while-loop
+    (measured ~1.2 ms combined for the two binning call sites at
+    1.2M entries on v5e). Instead: count strided samples < t (one
+    broadcast compare), row-gather the one stride-window the answer
+    lands in, and count within it. ~0.1 ms, exact.
+
+    sorted_vals is padded to a stride multiple with pad_val, which must
+    be >= max(t) so padding never counts."""
+    m = sorted_vals.shape[0]
+    nb = cdiv(m, _SS_STRIDE)
+    sv = jnp.pad(sorted_vals, (0, nb * _SS_STRIDE - m),
+                 constant_values=pad_val)
+    rows = sv.reshape(nb, _SS_STRIDE)
+    samp = rows[:, 0]                                   # [nb]
+    # j* = first sample >= t; the answer lies in window max(j*-1, 0)
+    jstar = jnp.sum(samp[None, :] < t[:, None], axis=1)  # [T]
+    jm = jnp.maximum(jstar - 1, 0).astype(jnp.int32)
+    win = rows[jm]                                      # [T, STRIDE]
+    return (jm * _SS_STRIDE
+            + jnp.sum(win < t[:, None], axis=1)).astype(jnp.int32)
 
 
 def _capsule_params(means2d, conics, opacities):

@@ -78,11 +78,17 @@ F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA, F_R, F_G, F_B, F_DEPTH = range(10)
 # dead columns there cost real milliseconds at 300K/512^2.
 N_LIVE_FIELDS = 10
 REC_WIDTH = 16
-# accumulator rows in the [8, 256] tile state
-A_R, A_G, A_B, A_DEPTH, A_T = range(5)
+# accumulator rows in the [8, 256] tile state; A_LIVE counts the tile's
+# live (non-terminated, non-empty) chunks — free diagnostics from the
+# forward pass that also size the backward's dead-chunk skip potential
+A_R, A_G, A_B, A_DEPTH, A_T, A_LIVE = range(6)
 ACC_ROWS = 8
 
 NBUF = 4     # record-stream multi-buffering depth
+
+# Measurement hook (scripts/micro_chunk_overhead.py): force the chunk
+# math off to expose the loop+DMA fixed cost. Never set in production.
+_STUB_MATH = False
 
 CENTER = 7.5   # tile-recentering offset: px' = px - x0 - CENTER, |px'|<=7.5
 N_MOM = 8      # pixel-moment rows [1, px', py', px'^2, py'^2, px'py', 0, 0]
@@ -297,12 +303,17 @@ def _fwd_kernel(
             acc_ref[...] = jnp.zeros((TILE_PIX, ACC_ROWS), jnp.float32)
             acc_ref[:, A_T:A_T + 1] = jnp.ones((TILE_PIX, 1), jnp.float32)
 
-        # chunk-level early termination: if every pixel of the tile is
-        # already saturated (T < eps), later chunks cannot contribute
-        # (T only decays) — skip the whole chunk's math.
-        live = (jnp.max(acc_ref[:, A_T:A_T + 1]) >= TRANSMITTANCE_EPS) & (
-            hi_ref[u] > lo_ref[u]
-        )
+        # live gate on the PREFETCHED window only: an earlier version
+        # also skipped chunks once every pixel saturated
+        # (max(acc T) < eps) — result-neutral since `applied` already
+        # zeroes sub-eps contributions — but reading a VECTOR max into
+        # the scalar unit serializes scalar-vs-vector work on EVERY
+        # chunk (measured 1.14 us/chunk pure overhead vs 2.41 total at
+        # 384-chunks, with ZERO dead chunks on the bench scene); a
+        # scalar-prefetch-only condition lets the scalar core run ahead.
+        live = hi_ref[u] > lo_ref[u]
+        if _STUB_MATH:
+            live = hi_ref[u] < lo_ref[u]
 
         @pl.when(live)
         def _():
@@ -318,6 +329,7 @@ def _fwd_kernel(
             )                                                 # [256, 4]
             acc_ref[:, A_R:A_DEPTH + 1] += acc_new
             acc_ref[:, A_T:A_T + 1] = v["t_new"]
+            acc_ref[:, A_LIVE:A_LIVE + 1] += 1.0
 
         # flush once per tile (next chunk starts a new tile)
         @pl.when(first_ref[u + 1] == 1)
@@ -463,9 +475,9 @@ def _bwd_kernel(
             col_ref[:, 5:6] = fcol[:, A_T:A_T + 1]
             col_ref[:, 6:7] = cfg
 
-        live = (jnp.max(acc_ref[:, A_T:A_T + 1]) >= TRANSMITTANCE_EPS) & (
-            hi_ref[u] > lo_ref[u]
-        )
+        live = hi_ref[u] > lo_ref[u]   # scalar-only gate, see _fwd_kernel
+        if _STUB_MATH:
+            live = hi_ref[u] < lo_ref[u]
 
         # output buffer: wait out the DMA that last used this slot
         oslot = jax.lax.rem(u, 2)
