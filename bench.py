@@ -67,12 +67,14 @@ def build_scene(n, seed=0, sh_degree=2):
     )
 
 
-def measure(scene, cam, cam_arrays, cap_mult):
+def measure(scene, cam, cam_arrays, cap_mult, host_loop=None):
     import jax
     import jax.numpy as jnp
 
     from dreamscene_tpu.ops.rasterizer import render
 
+    if host_loop is None:
+        host_loop = HOST_LOOP
     capacity = cap_mult * N_GAUSSIANS
 
     def loss_fn(params):
@@ -88,7 +90,7 @@ def measure(scene, cam, cam_arrays, cap_mult):
             + 0.01 * jnp.mean(out["alpha"])
         ), out["n_dropped"]
 
-    if HOST_LOOP:
+    if host_loop:
         step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
         # warmup / compile
@@ -100,6 +102,16 @@ def measure(scene, cam, cam_arrays, cap_mult):
             (loss, n_dropped), grads = step(scene)
         jax.block_until_ready((loss, grads))
         dt = time.perf_counter() - t0
+        if WIDTH * HEIGHT * ITERS / dt > 40e6:
+            # tunnel completion anomaly (observed once: the async block
+            # returned early for the 2nd heavy executable dispatched in
+            # one process, yielding an impossible 1.9e9 pix/s) — re-time
+            # with a per-step barrier, which cannot under-count
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = step(scene)
+                jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
     else:
         # steady-state: chain ITERS fwd+bwd steps on-device. Each step
         # feeds the next through a non-foldable 1e-30*grad nudge (adds
@@ -158,11 +170,26 @@ def main():
     }
     # honest-full-workload companion: zero-drop capacity (every raw entry
     # composited), reported alongside — NOT replacing — the headline
+    # companion legs use the one-dispatch scan methodology (host_loop=0):
+    # a second host-loop executable in the same process once hit a tunnel
+    # async-completion anomaly (impossible 1.9e9 pix/s); the scan chain
+    # crosses the tunnel once so its timing cannot under-count
     if os.environ.get("BENCH_SKIP_ZERO_DROP") != "1" and CAP_MULT < 8:
-        zd_pix_ps, zd_dropped = measure(scene, cam, cam_arrays, 8)
+        zd_pix_ps, zd_dropped = measure(scene, cam, cam_arrays, 8,
+                                        host_loop=0)
         result["zero_drop_pixels_per_s"] = round(zd_pix_ps, 1)
         result["zero_drop_vs_baseline"] = round(zd_pix_ps / CUDA_NOMINAL_PIXPS, 4)
         result["zero_drop_entries_dropped"] = zd_dropped
+    # device-steady-state companion: the same step chained on-device via
+    # lax.scan — no per-step dispatch, so the axon tunnel's ~1.5ms
+    # per-execute overhead (absent on local TPU hardware) drops out.
+    # Companion only; the headline stays host-loop for comparability
+    # with every recorded number.
+    if os.environ.get("BENCH_SKIP_DEVICE_STEADY") != "1" and HOST_LOOP:
+        ds_pix_ps, _ = measure(scene, cam, cam_arrays, CAP_MULT, host_loop=0)
+        result["device_steady_pixels_per_s"] = round(ds_pix_ps, 1)
+        result["device_steady_vs_baseline"] = round(
+            ds_pix_ps / CUDA_NOMINAL_PIXPS, 4)
     print(json.dumps(result))
 
 

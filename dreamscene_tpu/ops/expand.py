@@ -91,11 +91,18 @@ def _expand_kernel(
             w = wbuf_ref[slot, :, pl.ds(k * 128, 128)]       # [8, 128]
             mask = (w[0:1, :] <= e_sub).astype(jnp.float32)  # [B, 128]
             # HIGHEST precision is CORRECTNESS here, not accuracy: the
-            # window rows are integers up to 2^19 and the TPU's default
+            # window rows are integers up to 2^24 and the TPU's default
             # single-pass bf16 MXU rounds them (8-bit mantissa) —
             # measured: every sorted entry wrong on the real chip while
             # CPU interpret was exact. Multi-pass f32 keeps int products
-            # < 2^24 exact.
+            # < 2^24 exact. A 3-way bf16 split (3 passes instead of
+            # HIGHEST's 6, exactness provable on paper and verified
+            # exact in interpret mode) was tried in round 3 and
+            # CORRUPTED the full-scale compiled kernel (tpu_parity
+            # img p999 0.79 vs interpret; mid-size green) — Mosaic's
+            # compiled bf16 convert/dot rounding breaks an assumption
+            # the proof makes. Do not retry without a full-scale
+            # on-chip parity run in hand.
             return acc + jax.lax.dot_general(
                 w, mask, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
