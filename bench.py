@@ -10,6 +10,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 diff-gaussian-rasterization reports on an A100-class GPU for ~300K
 splats; the DreamScene reference itself publishes no numbers —
 BASELINE.json "published": {}).
+
+Headline methodology (round 4, VERDICT r3 item 1): CONTROLLER-TRACKED
+capacity — the entry table is sized the way training actually sizes it
+(CapacityController: raw entry demand x 1.1 pad, quantized to N/4), so
+every raw entry is composited (zero-drop semantics; honest full
+workload). Companions: the rounds-1..3 CAP_MULT=4 methodology (drops
+~40% of this deliberately dense scene's entries — kept for
+comparability with every recorded number) and a device-steady lax.scan
+chain (no per-step dispatch, so the axon tunnel's ~1.5 ms per-execute
+tax drops out).
 """
 
 import json
@@ -22,14 +32,12 @@ N_GAUSSIANS = 300_000
 WIDTH = HEIGHT = 512
 ITERS = 10
 CUDA_NOMINAL_PIXPS = 26.2e6
-# Entry-table capacity multiplier. 4 (the recorded-baseline methodology)
-# saturates on this deliberately dense synthetic scene — the cut drops
-# the farthest ~40% of entries (graceful degradation; training uses the
-# adaptive CapacityController instead). BENCH_CAP_MULT=8 renders the
-# scene with zero drops for the honest-full-workload number (ROADMAP).
+# Comparability-companion capacity multiplier (the rounds-1..3 headline
+# methodology: 4N saturates on this deliberately dense synthetic scene,
+# cutting the farthest ~40% of raw entries).
 CAP_MULT = int(os.environ.get("BENCH_CAP_MULT", 4))
-# composite record-chunk length (round-3 solo A/B on v5e: 256 -> 5.91,
-# 384 -> 6.00, 512 -> 5.24 Mpix/s; 384 is the default everywhere now)
+# composite record-chunk length (round-3 solo A/B on v5e at 16x16 tiles:
+# 256 -> 5.91, 384 -> 6.00, 512 -> 5.24 Mpix/s)
 CHUNK = int(os.environ.get("BENCH_CHUNK", 384))
 # 1 (default) = time a host-side python loop over jitted steps — the
 # dispatch pipelines (async), so this is close to device time and is the
@@ -67,7 +75,36 @@ def build_scene(n, seed=0, sh_degree=2):
     )
 
 
-def measure(scene, cam, cam_arrays, cap_mult, host_loop=None):
+def tracked_capacity(scene, cam, cam_arrays):
+    """Raw entry demand of the bench view -> the capacity the
+    CapacityController would converge to (pad + N/4 quantization):
+    the zero-drop table the training step actually runs at."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreamscene_tpu.ops.rasterizer import render
+    from dreamscene_tpu.training.capacity import CapacityController
+
+    probe_cap = min(16 * N_GAUSSIANS, CapacityController.HARD_CAP)
+
+    @jax.jit
+    def raw_entries(params):
+        out = render(
+            **params, **cam_arrays,
+            tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            width=WIDTH, height=HEIGHT,
+            bg=jnp.zeros((3,), jnp.float32), sh_degree=2,
+            capacity=probe_cap, chunk=CHUNK,
+        )
+        return out["n_entries"] + out["n_dropped"]
+
+    raw = int(raw_entries(scene))
+    ctrl = CapacityController()
+    ctrl.mult = ctrl._quantize(raw * ctrl.pad / N_GAUSSIANS, N_GAUSSIANS)
+    return ctrl.capacity(N_GAUSSIANS), raw
+
+
+def measure(scene, cam, cam_arrays, capacity, host_loop=None):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +112,6 @@ def measure(scene, cam, cam_arrays, cap_mult, host_loop=None):
 
     if host_loop is None:
         host_loop = HOST_LOOP
-    capacity = cap_mult * N_GAUSSIANS
 
     def loss_fn(params):
         out = render(
@@ -154,9 +190,12 @@ def main():
         campos=jnp.asarray(cam.camera_center),
     )
 
-    # headline: recorded-baseline methodology (CAP_MULT=4 saturates this
-    # deliberately dense synthetic scene — ~40% of raw entries are cut)
-    pix_ps, n_dropped = measure(scene, cam, cam_arrays, CAP_MULT)
+    from dreamscene_tpu.ops.binning import DEFAULT_TILE_H, DEFAULT_TILE_W
+
+    # headline: controller-tracked capacity (zero-drop semantics — the
+    # table training actually runs at; VERDICT r3 item 1)
+    cap, raw = tracked_capacity(scene, cam, cam_arrays)
+    pix_ps, n_dropped = measure(scene, cam, cam_arrays, cap)
     result = {
         "metric": "pixels_per_s_fwd_bwd_512sq_300k_gaussians",
         "value": round(pix_ps, 1),
@@ -165,28 +204,32 @@ def main():
         # BASELINE.json's primary metric is "Pixels/s AND Gaussians/s":
         # splats processed per second through the same fwd+bwd step
         "gaussians_per_s": round(N_GAUSSIANS * pix_ps / (WIDTH * HEIGHT), 1),
-        "cap_mult": CAP_MULT,
+        "methodology": "controller_tracked_capacity",
+        "capacity": cap,
+        "raw_entries": raw,
         "entries_dropped": n_dropped,
+        "tile": [DEFAULT_TILE_W, DEFAULT_TILE_H],
+        "chunk": CHUNK,
     }
-    # honest-full-workload companion: zero-drop capacity (every raw entry
-    # composited), reported alongside — NOT replacing — the headline
-    # companion legs use the one-dispatch scan methodology (host_loop=0):
-    # a second host-loop executable in the same process once hit a tunnel
+    # comparability companion: the rounds-1..3 CAP_MULT=4 methodology
+    # (saturates this scene, cutting ~40% of raw entries). Companion legs
+    # use the one-dispatch scan methodology (host_loop=0): a second
+    # host-loop executable in the same process once hit a tunnel
     # async-completion anomaly (impossible 1.9e9 pix/s); the scan chain
-    # crosses the tunnel once so its timing cannot under-count
-    if os.environ.get("BENCH_SKIP_ZERO_DROP") != "1" and CAP_MULT < 8:
-        zd_pix_ps, zd_dropped = measure(scene, cam, cam_arrays, 8,
-                                        host_loop=0)
-        result["zero_drop_pixels_per_s"] = round(zd_pix_ps, 1)
-        result["zero_drop_vs_baseline"] = round(zd_pix_ps / CUDA_NOMINAL_PIXPS, 4)
-        result["zero_drop_entries_dropped"] = zd_dropped
-    # device-steady-state companion: the same step chained on-device via
-    # lax.scan — no per-step dispatch, so the axon tunnel's ~1.5ms
+    # crosses the tunnel once so its timing cannot under-count (measured
+    # equal to host-loop at cap4 in BENCH_r03: 6.518 vs 6.515 Mpix/s).
+    if os.environ.get("BENCH_SKIP_CAP4") != "1":
+        c4_pix_ps, c4_dropped = measure(
+            scene, cam, cam_arrays, CAP_MULT * N_GAUSSIANS, host_loop=0)
+        result["cap4_pixels_per_s"] = round(c4_pix_ps, 1)
+        result["cap4_vs_baseline"] = round(c4_pix_ps / CUDA_NOMINAL_PIXPS, 4)
+        result["cap4_entries_dropped"] = c4_dropped
+        result["cap4_cap_mult"] = CAP_MULT
+    # device-steady-state companion: the headline step chained on-device
+    # via lax.scan — no per-step dispatch, so the axon tunnel's ~1.5ms
     # per-execute overhead (absent on local TPU hardware) drops out.
-    # Companion only; the headline stays host-loop for comparability
-    # with every recorded number.
     if os.environ.get("BENCH_SKIP_DEVICE_STEADY") != "1" and HOST_LOOP:
-        ds_pix_ps, _ = measure(scene, cam, cam_arrays, CAP_MULT, host_loop=0)
+        ds_pix_ps, _ = measure(scene, cam, cam_arrays, cap, host_loop=0)
         result["device_steady_pixels_per_s"] = round(ds_pix_ps, 1)
         result["device_steady_vs_baseline"] = round(
             ds_pix_ps / CUDA_NOMINAL_PIXPS, 4)

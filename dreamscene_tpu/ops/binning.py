@@ -9,7 +9,9 @@ entry table**:
      later stages work in *depth-rank* space, so an entry's secondary sort
      key is just its splat's rank — no float depth keys downstream;
   2. each visible splat owns a contiguous run of entries — one per touched
-     16x16 tile — located via an exclusive cumsum of touched-tile counts;
+     (tile_w x tile_h) tile (16x16 default; anisotropic 32x16 cuts raw
+     entries ~0.64x on real scenes) — located via an exclusive cumsum of
+     touched-tile counts;
      the entry->rank mapping is recovered with a scatter+cumsum (no
      searchsorted, no per-splat loops);
   3. entries are sorted by a SINGLE packed uint32 key `(tile << S) | rank`
@@ -46,8 +48,21 @@ import jax.numpy as jnp
 from dreamscene_tpu.ops.expand import expand_entries
 from dreamscene_tpu.ops.gather import u16_row_gather_i32
 
-TILE = 16          # pixels per tile side
+TILE = 16          # legacy square-tile side (16x16 default)
 TILE_PIX = TILE * TILE
+
+# Anisotropic tile shape (ROADMAP lead 1): a (tile_w, tile_h) tile trades
+# kernel entry-pixel pairs against raw entry count — measured on the
+# bench scene, 32x16 cuts raw entries to 0.643x (so the capacity-
+# proportional XLA per-entry stack shrinks with it) at 1.286x pairs.
+# Resolution order: explicit argument > DS_TILE_W/DS_TILE_H env > 16.
+DEFAULT_TILE_W = int(os.environ.get("DS_TILE_W", "16"))
+DEFAULT_TILE_H = int(os.environ.get("DS_TILE_H", "16"))
+
+
+def resolve_tile(tile_w: int | None, tile_h: int | None) -> tuple[int, int]:
+    return (DEFAULT_TILE_W if tile_w is None else tile_w,
+            DEFAULT_TILE_H if tile_h is None else tile_h)
 
 # Carry the 3 capsule-cull channels through the depth sort as extra
 # payload operands instead of the rank-order row gather. Result-identical
@@ -114,19 +129,23 @@ def bin_splats(
     opacities: jnp.ndarray | None = None,
     interpret: bool = False,
     rank_drop_override: int | None = None,
+    tile_w: int | None = None,
+    tile_h: int | None = None,
 ) -> BinnedSplats:
     """Build the tile-sorted, depth-ordered entry table + chunk metadata.
 
     When `conics`/`opacities` are given, entries whose splat cannot reach
-    alpha >= 1/255 anywhere in their tile are re-keyed to the trash tile
+    alpha >= 1/255 anywhere in their (tile_w x tile_h) tile are re-keyed to
+    the trash tile
     (conservative capsule+circle test, see `_capsule_params`). This BEATS the
     CUDA reference's square-rect binning: those entries contribute
     EXACTLY zero in the composite kernel (its `raw < ALPHA_MIN` mask),
     so results are unchanged while live per-tile runs — and both
     composite kernels' work — shrink by the cull rate."""
     n = means2d.shape[0]
-    tiles_x = cdiv(width, TILE)
-    tiles_y = cdiv(height, TILE)
+    tile_w, tile_h = resolve_tile(tile_w, tile_h)
+    tiles_x = cdiv(width, tile_w)
+    tiles_y = cdiv(height, tile_h)
     n_tiles = tiles_x * tiles_y
     n_chunks = max_chunks(capacity, n_tiles, chunk)
 
@@ -162,10 +181,10 @@ def bin_splats(
     vis = visible.astype(bool) & vis_extra
     # the contract rect (must never be EXCEEDED: the golden zeroes tiles
     # outside it by fiat, so extra tiles would ADD contributions)
-    x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((mx - r) / tile_w), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / tile_h), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + r + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + r + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
     if hx is not None:
         # intersect with the ellipse AABB using mathematically-INCLUSIVE
         # tile ends (the CUDA-replica `floor((E + 15)/16)` end formula
@@ -173,19 +192,19 @@ def bin_splats(
         # sides use the same extent, so the tightened axes must include
         # the tile containing mx +- hx outright)
         x0 = jnp.maximum(x0, jnp.clip(
-            jnp.floor((mx - hx) / TILE), 0, tiles_x).astype(jnp.int32))
+            jnp.floor((mx - hx) / tile_w), 0, tiles_x).astype(jnp.int32))
         y0 = jnp.maximum(y0, jnp.clip(
-            jnp.floor((my - hy) / TILE), 0, tiles_y).astype(jnp.int32))
+            jnp.floor((my - hy) / tile_h), 0, tiles_y).astype(jnp.int32))
         x1 = jnp.minimum(x1, jnp.clip(
-            jnp.floor((mx + hx) / TILE) + 1, 0, tiles_x).astype(jnp.int32))
+            jnp.floor((mx + hx) / tile_w) + 1, 0, tiles_x).astype(jnp.int32))
         y1 = jnp.minimum(y1, jnp.clip(
-            jnp.floor((my + hy) / TILE) + 1, 0, tiles_y).astype(jnp.int32))
+            jnp.floor((my + hy) / tile_h) + 1, 0, tiles_y).astype(jnp.int32))
     nx = jnp.where(vis, x1 - x0, 0)
     ny = jnp.where(vis, y1 - y0, 0)
     count0 = nx * ny                                      # [N] original order
     # basenx packs the splat's first tile id and rect width into one i32
-    # (nx <= tiles_x <= 255 for any width <= 4080 px).
-    assert tiles_x <= 255, "image wider than 4080 px: widen basenx packing"
+    # (nx <= tiles_x <= 255 for any width <= 255 * tile_w px).
+    assert tiles_x <= 255, "image wider than 255 tiles: widen basenx packing"
     basenx0 = (y0 * tiles_x + x0) * 256 + nx
 
     # 2. depth pre-sort with EMPTY SPLATS FORCED TO THE TAIL: positive-f32
@@ -269,6 +288,7 @@ def bin_splats(
         offsets, basenx, perm, total,
         capacity=capacity, n=n, n_tiles=n_tiles, tiles_x=tiles_x,
         shift=shift, rank_drop=rank_drop, caps=caps, interpret=interpret,
+        tile_w=tile_w, tile_h=tile_h,
     )
 
     # 4. sort entries by the packed key (u32-reinterpreted: the in-kernel
@@ -416,8 +436,9 @@ def _capsule_params(means2d, conics, opacities):
     window delta-sums stay exact in f32): mid_x, mid_y (0.5 px grid,
     [-1024, 1023.5]), v_x, v_y (0.5 px, outward-rounded so the capsule
     only grows), B (0.5 px, +1 px cushion absorbing quantization + fp
-    slop; the kernel also widens tile half-extents to 7.8 px for the
-    0.5-px mid grid and applies a rotation-aware test threshold),
+    slop; the kernel also widens the per-axis tile half-extents by
+    0.3 px — e.g. 7.8 for a 16-px axis, 15.8 for 32 — absorbing the
+    0.5-px mid grid, and applies a rotation-aware test threshold),
     no_cull flag (range overflow -> never cull)."""
     ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
     opa = opacities.astype(jnp.float32)

@@ -52,7 +52,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dreamscene_tpu.ops.binning import TILE, TILE_PIX
+from dreamscene_tpu.ops.binning import TILE, TILE_PIX  # noqa: F401 (legacy
+# square-tile constants; the kernels below are generalized to any
+# (tile_w, tile_h) shape — anisotropic 32x16 is the measured candidate
+# that cuts raw entries ~0.64x at 1.29x entry-pixel pairs, ROADMAP lead 1)
 
 # Kernel matmuls NEVER run at the TPU default single-pass bf16: it
 # rounds operands to 8 mantissa bits, putting ~4e-3 relative error into
@@ -90,17 +93,23 @@ NBUF = 4     # record-stream multi-buffering depth
 # math off to expose the loop+DMA fixed cost. Never set in production.
 _STUB_MATH = False
 
-CENTER = 7.5   # tile-recentering offset: px' = px - x0 - CENTER, |px'|<=7.5
 N_MOM = 8      # pixel-moment rows [1, px', py', px'^2, py'^2, px'py', 0, 0]
 
 
-def _pixel_moments():
-    """[N_MOM, 256] tile-local pixel moments (tile-independent after
-    recentering: px' = p%16 - CENTER regardless of tile origin)."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (N_MOM, TILE_PIX), 0)
-    p = jax.lax.broadcasted_iota(jnp.int32, (N_MOM, TILE_PIX), 1)
-    px = (p % TILE).astype(jnp.float32) - CENTER
-    py = (p // TILE).astype(jnp.float32) - CENTER
+def _centers(tile_w, tile_h):
+    """Tile-recentering offsets: px' = px - x0 - cx with |px'| <= cx."""
+    return (tile_w - 1) / 2.0, (tile_h - 1) / 2.0
+
+
+def _pixel_moments(tile_w, tile_h):
+    """[N_MOM, tile_pix] tile-local pixel moments (tile-independent after
+    recentering: px' = p % tile_w - cx regardless of tile origin)."""
+    tile_pix = tile_w * tile_h
+    cx, cy = _centers(tile_w, tile_h)
+    k = jax.lax.broadcasted_iota(jnp.int32, (N_MOM, tile_pix), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (N_MOM, tile_pix), 1)
+    px = (p % tile_w).astype(jnp.float32) - cx
+    py = (p // tile_w).astype(jnp.float32) - cy
     rows = [jnp.ones_like(px), px, py, px * px, py * py, px * py]
     out = jnp.zeros_like(px)
     for i, r_ in enumerate(rows):
@@ -108,16 +117,17 @@ def _pixel_moments():
     return out
 
 
-def _pixel_coords(x0, y0):
-    """Tile pixel coordinates as [256, 1] sublane vectors (row-major 16x16)."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
-    px = (x0 + sub % TILE).astype(jnp.float32)
-    py = (y0 + sub // TILE).astype(jnp.float32)
+def _pixel_coords(x0, y0, tile_w, tile_h):
+    """Tile pixel coordinates as [tile_pix, 1] sublane vectors (row-major
+    tile_h x tile_w)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tile_w * tile_h, 1), 0)
+    px = (x0 + sub % tile_w).astype(jnp.float32)
+    py = (y0 + sub // tile_w).astype(jnp.float32)
     return px, py
 
 
-def _tile_xy0(t, tiles_x):
-    return (t % tiles_x) * TILE, (t // tiles_x) * TILE
+def _tile_xy0(t, tiles_x, tile_w, tile_h):
+    return (t % tiles_x) * tile_w, (t // tiles_x) * tile_h
 
 
 def _col(row_vec):
@@ -260,20 +270,21 @@ def _fwd_kernel(
     out_ref,
     # scratch
     acc_ref, buf_ref, sem_ref,
-    *, tiles_x, chunk,
+    *, tiles_x, chunk, tile_w, tile_h,
 ):
-    # acc_ref holds the tile state COLUMN-form [256, 8] (pixels on
+    # acc_ref holds the tile state COLUMN-form [tile_pix, 8] (pixels on
     # sublanes) so the per-chunk math needs no vector transposes; the
-    # row-form [8, 256] conversion happens once per tile at flush.
+    # row-form [8, tile_pix] conversion happens once per tile at flush.
     # dynamic loop bound: chunks past the live count carry no entries
     # (hi == lo == 0) — skipping them entirely saves their DMA issue +
     # prologue cost, and entry culling grows their number substantially
+    tile_pix = tile_w * tile_h
     n_u = uused_ref[0]
     n_rows = out_ref.shape[0]
 
     # init: background state for every tile (incl. never-touched ones)
-    out_ref[...] = jnp.zeros((n_rows, ACC_ROWS, TILE_PIX), jnp.float32)
-    out_ref[:, A_T, :] = jnp.ones((n_rows, TILE_PIX), jnp.float32)
+    out_ref[...] = jnp.zeros((n_rows, ACC_ROWS, tile_pix), jnp.float32)
+    out_ref[:, A_T, :] = jnp.ones((n_rows, tile_pix), jnp.float32)
 
     def rec_dma(slot, u):
         return pltpu.make_async_copy(
@@ -300,8 +311,8 @@ def _fwd_kernel(
 
         @pl.when(first_ref[u] == 1)
         def _():
-            acc_ref[...] = jnp.zeros((TILE_PIX, ACC_ROWS), jnp.float32)
-            acc_ref[:, A_T:A_T + 1] = jnp.ones((TILE_PIX, 1), jnp.float32)
+            acc_ref[...] = jnp.zeros((tile_pix, ACC_ROWS), jnp.float32)
+            acc_ref[:, A_T:A_T + 1] = jnp.ones((tile_pix, 1), jnp.float32)
 
         # live gate on the PREFETCHED window only: an earlier version
         # also skipped chunks once every pixel saturated
@@ -318,8 +329,8 @@ def _fwd_kernel(
         @pl.when(live)
         def _():
             rec = buf_ref[slot]
-            x0, y0 = _tile_xy0(t, tiles_x)
-            px, py = _pixel_coords(x0, y0)
+            x0, y0 = _tile_xy0(t, tiles_x, tile_w, tile_h)
+            px, py = _pixel_coords(x0, y0, tile_w, tile_h)
             v = _chunk_alpha(rec, px, py, acc_ref[:, A_T:A_T + 1],
                              lo_ref[u], hi_ref[u])
 
@@ -342,7 +353,8 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")
+    jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret",
+                              "tile_w", "tile_h")
 )
 def composite_forward(
     records_t: jnp.ndarray,     # [REC_WIDTH, cap_pad] f32, field-major sorted
@@ -356,9 +368,13 @@ def composite_forward(
     tiles_x: int,
     chunk: int = 256,
     interpret: bool = False,
+    tile_w: int = 16,
+    tile_h: int = 16,
 ):
     n_chunks = chunk_tile.shape[0]
-    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
+    tile_pix = tile_w * tile_h
+    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk,
+                               tile_w=tile_w, tile_h=tile_h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -366,12 +382,12 @@ def composite_forward(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
-                (n_tiles + 1, ACC_ROWS, TILE_PIX),
+                (n_tiles + 1, ACC_ROWS, tile_pix),
                 lambda i, *_: (0, 0, 0),
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_PIX, ACC_ROWS), jnp.float32),
+            pltpu.VMEM((tile_pix, ACC_ROWS), jnp.float32),
             pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -380,7 +396,7 @@ def composite_forward(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles + 1, ACC_ROWS, TILE_PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, ACC_ROWS, tile_pix), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -406,13 +422,22 @@ def _bwd_kernel(
     acc_ref, buf_ref, sem_ref,
     fbuf_ref, gbuf_ref, tsem_ref,
     col_ref, obuf_ref, osem_ref, mom_ref,
-    *, tiles_x, chunk,
+    *, tiles_x, chunk, tile_w, tile_h,
 ):
-    # acc_ref is COLUMN-form [256, 8] (pixels on sublanes); col_ref caches
-    # the tile's cotangent/final rows transposed to column form once per
-    # tile: cols 0..3 g_rgbd, 4 g_t, 5 t_final, 6 (c_final . g_rgbd).
+    # acc_ref is COLUMN-form [tile_pix, 8] (pixels on sublanes); col_ref
+    # caches the tile's cotangent/final rows transposed to column form once
+    # per tile: cols 0..3 g_rgbd, 4 g_t, 5 t_final, 6 (c_final . g_rgbd).
+    tile_pix = tile_w * tile_h
+    cx, cy = _centers(tile_w, tile_h)
+    # moments are quarter-integers; bf16 (8 significant bits) holds them
+    # exactly only while the largest (max(cx,cy)^2 as a quarter-int
+    # numerator) fits 8 bits — true for tiles up to 16 px a side. Wider
+    # tiles (e.g. 32x16: 15.5^2 = 961/4, 10 bits) take the 3-pass
+    # hi/lo-split moment matmul instead (same _split_dot2 class as every
+    # other in-kernel dot).
+    mom_exact = max(tile_w, tile_h) <= 16
     n_u = uused_ref[0]   # dynamic live-chunk bound (see _fwd_kernel)
-    mom_ref[...] = _pixel_moments()
+    mom_ref[...] = _pixel_moments(tile_w, tile_h)
 
     def rec_dma(slot, u):
         return pltpu.make_async_copy(
@@ -462,9 +487,9 @@ def _bwd_kernel(
             f, g = tile_dmas(u)
             f.wait()
             g.wait()
-            acc_ref[...] = jnp.zeros((TILE_PIX, ACC_ROWS), jnp.float32)
-            acc_ref[:, A_T:A_T + 1] = jnp.ones((TILE_PIX, 1), jnp.float32)
-            gcol = jnp.transpose(gbuf_ref[ts, 0], (1, 0))     # [256, 8]
+            acc_ref[...] = jnp.zeros((tile_pix, ACC_ROWS), jnp.float32)
+            acc_ref[:, A_T:A_T + 1] = jnp.ones((tile_pix, 1), jnp.float32)
+            gcol = jnp.transpose(gbuf_ref[ts, 0], (1, 0))     # [tile_pix, 8]
             fcol = jnp.transpose(fbuf_ref[ts, 0], (1, 0))
             cfg = jnp.sum(
                 fcol[:, A_R:A_DEPTH + 1] * gcol[:, A_R:A_DEPTH + 1],
@@ -495,8 +520,8 @@ def _bwd_kernel(
         @pl.when(live)
         def _():
             rec = buf_ref[slot]
-            x0, y0 = _tile_xy0(t, tiles_x)
-            px, py = _pixel_coords(x0, y0)
+            x0, y0 = _tile_xy0(t, tiles_x, tile_w, tile_h)
+            px, py = _pixel_coords(x0, y0, tile_w, tile_h)
             t_carry_col = acc_ref[:, A_T:A_T + 1]
             v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u])
             alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
@@ -550,9 +575,12 @@ def _bwd_kernel(
             # mean recentered likewise, keeping the expanded-quadratic
             # terms bounded (~(r+16)^2*conic) so fp32 cancellation error
             # stays ~1e-5 of the true gradient.
-            gp_hi, gp_lo = _bf16_split(gpower)
-            mom_b = mom_ref[...].astype(jnp.bfloat16)  # exact: k*j/4 ints
-            G = _dot(mom_b, gp_hi) + _dot(mom_b, gp_lo)       # [8, CHUNK]
+            if mom_exact:
+                gp_hi, gp_lo = _bf16_split(gpower)
+                mom_b = mom_ref[...].astype(jnp.bfloat16)  # exact quarter
+                G = _dot(mom_b, gp_hi) + _dot(mom_b, gp_lo)   # [8, CHUNK]
+            else:
+                G = _split_dot2(mom_ref[...], gpower)         # [8, CHUNK]
             G0 = G[0:1, :]
             G1 = G[1:2, :]
             G2 = G[2:3, :]
@@ -563,8 +591,8 @@ def _bwd_kernel(
             ca = rec[F_CA:F_CA + 1, :]
             cb = rec[F_CB:F_CB + 1, :]
             cc = rec[F_CC:F_CC + 1, :]
-            mxc = rec[F_MX:F_MX + 1, :] - x0.astype(jnp.float32) - CENTER
-            myc = rec[F_MY:F_MY + 1, :] - y0.astype(jnp.float32) - CENTER
+            mxc = rec[F_MX:F_MX + 1, :] - x0.astype(jnp.float32) - cx
+            myc = rec[F_MY:F_MY + 1, :] - y0.astype(jnp.float32) - cy
             # gpower/opa = galpha*unclamped*exp(power); masked lanes have
             # G0 == 0 so the guard only dodges 0/0 on zero-padded records.
             g_opa = G0 / jnp.maximum(rec[F_OPA:F_OPA + 1, :], 1e-20)
@@ -623,7 +651,8 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret")
+    jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret",
+                              "tile_w", "tile_h")
 )
 def composite_backward(
     records_t: jnp.ndarray,      # [REC_WIDTH, cap_pad] f32, field-major sorted
@@ -639,11 +668,15 @@ def composite_backward(
     tiles_x: int,
     chunk: int = 256,
     interpret: bool = False,
+    tile_w: int = 16,
+    tile_h: int = 16,
 ):
     n_chunks = chunk_tile.shape[0]
+    tile_pix = tile_w * tile_h
     # tile ordinal of each chunk (selects the tile-state buffer slot)
     tord = jnp.cumsum(chunk_first[:-1]) - 1
-    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, chunk=chunk)
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, chunk=chunk,
+                               tile_w=tile_w, tile_h=tile_h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -655,16 +688,16 @@ def composite_backward(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((TILE_PIX, ACC_ROWS), jnp.float32),
+            pltpu.VMEM((tile_pix, ACC_ROWS), jnp.float32),
             pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.VMEM((NBUF, 1, ACC_ROWS, TILE_PIX), jnp.float32),
-            pltpu.VMEM((NBUF, 1, ACC_ROWS, TILE_PIX), jnp.float32),
+            pltpu.VMEM((NBUF, 1, ACC_ROWS, tile_pix), jnp.float32),
+            pltpu.VMEM((NBUF, 1, ACC_ROWS, tile_pix), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
-            pltpu.VMEM((TILE_PIX, 8), jnp.float32),
+            pltpu.VMEM((tile_pix, 8), jnp.float32),
             pltpu.VMEM((2, REC_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((N_MOM, TILE_PIX), jnp.float32),
+            pltpu.VMEM((N_MOM, tile_pix), jnp.float32),
         ],
     )
     (grec_t,) = pl.pallas_call(

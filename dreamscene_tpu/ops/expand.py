@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 W_ROWS = 8        # rows: offsets, d_basenx, d_offs, d_gid, ones, 3 capsule
 EXPAND_NBUF = 2   # window-stream double buffering
-CAP_HW = 7.8      # tile half-extent for the cull test: 7.5 px + 0.3 px
+CAP_PAD = 0.3     # cull-test half-extent padding beyond (tile/2 - 0.5) px,
                   # absorbing the 0.5-px quantized ellipse mid (+-0.25)
 
 
@@ -56,6 +56,7 @@ def _expand_kernel(
     # scratch
     wbuf_ref, wsem_ref, kbuf_ref, gbuf_ref, osem_ref,
     *, block, wsize, n, n_tiles, tiles_x, shift, rank_drop, use_cull,
+    tile_w, tile_h,
 ):
     n_blocks = w0a_ref.shape[0]
 
@@ -153,8 +154,8 @@ def _expand_kernel(
             no_cull = (ch2 - e2c * 4096.0) > 0.5
             ty = jnp.floor(tile * (1.0 / jnp.float32(tiles_x)))
             tx = tile - ty * jnp.float32(tiles_x)
-            dx = tx * 16.0 + 7.5 - midx
-            dy = ty * 16.0 + 7.5 - midy
+            dx = tx * jnp.float32(tile_w) + (tile_w / 2.0 - 0.5) - midx
+            dy = ty * jnp.float32(tile_h) + (tile_h / 2.0 - 0.5) - midy
             v2 = vx * vx + vy * vy
             av = jnp.abs(vx) + jnp.abs(vy)
             dotv = dx * vx + dy * vy
@@ -165,19 +166,22 @@ def _expand_kernel(
             # Min of the PD quadratic E over the (enlarged) tile box:
             # 0 if the mid lies inside, else the min over the four
             # edges, each a 1D quadratic clamped at its vertex. A and B
-            # are quantized UP and the box half-extent is CAP_HW
-            # (> 7.5, absorbing the 0.5-px mid grid), so cull keeps a
-            # strict superset of the kernel's nonzero entries.
+            # are quantized UP and the per-axis box half-extents are
+            # padded by CAP_PAD beyond (tile/2 - 0.5) px (absorbing the
+            # 0.5-px mid grid), so cull keeps a strict superset of the
+            # kernel's nonzero entries.
             v2g = jnp.maximum(v2, 0.25)
             iv2 = 1.0 / v2g
             ib2 = 1.0 / jnp.maximum(big_b * big_b, 0.25)
             ea = (vx * vx * iv2 + vy * vy * ib2) * iv2
             eb = (vx * vy * iv2 - vx * vy * ib2) * iv2
             ec = (vy * vy * iv2 + vx * vx * ib2) * iv2
-            lxe = dx - CAP_HW
-            uxe = dx + CAP_HW
-            lye = dy - CAP_HW
-            uye = dy + CAP_HW
+            hwx = tile_w / 2.0 - 0.5 + CAP_PAD
+            hwy = tile_h / 2.0 - 0.5 + CAP_PAD
+            lxe = dx - hwx
+            uxe = dx + hwx
+            lye = dy - hwy
+            uye = dy + hwy
             inside = (lxe <= 0.0) & (uxe >= 0.0) & (lye <= 0.0) & (uye >= 0.0)
 
             def emin_edge_x(cst):
@@ -247,7 +251,7 @@ def _expand_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("capacity", "n", "n_tiles", "tiles_x", "shift",
-                     "rank_drop", "block", "interpret"),
+                     "rank_drop", "block", "interpret", "tile_w", "tile_h"),
 )
 def expand_entries(
     offsets: jnp.ndarray,    # [N] i32 exclusive entry offsets, rank order
@@ -263,6 +267,8 @@ def expand_entries(
     caps: tuple | None = None,   # 3 x [N] i32 capsule channel columns
     block: int = 2048,
     interpret: bool = False,
+    tile_w: int = 16,
+    tile_h: int = 16,
 ):
     """Per-entry (sort_key, original splat id) for all `capacity` entries.
 
@@ -323,7 +329,7 @@ def expand_entries(
     kernel = functools.partial(
         _expand_kernel, block=block, wsize=wsize, n=n, n_tiles=n_tiles,
         tiles_x=tiles_x, shift=shift, rank_drop=rank_drop,
-        use_cull=use_cull,
+        use_cull=use_cull, tile_w=tile_w, tile_h=tile_h,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from dreamscene_tpu.ops.binning import TILE, bin_splats, cdiv
+from dreamscene_tpu.ops.binning import TILE, bin_splats, cdiv, resolve_tile
 from dreamscene_tpu.ops.composite import (
     ACC_ROWS,
     N_LIVE_FIELDS,
@@ -101,9 +101,10 @@ def _gather(rec_n, gid_pad):
     return jnp.transpose(_u16_row_gather(rec_n, gid_pad))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def gather_composite(rec_n, inv_perm, gid_pad, pos_of_entry, surv,
-                     seg_starts, chunks, n_tiles, tiles_x, chunk, interpret):
+                     seg_starts, chunks, n_tiles, tiles_x, chunk, tile_w,
+                     tile_h, interpret):
     """Record gather + Pallas compositing under ONE custom VJP (the
     backward's chunk-aligned field-major grad table is an internal layout
     that must not cross a VJP boundary).
@@ -119,28 +120,31 @@ def gather_composite(rec_n, inv_perm, gid_pad, pos_of_entry, surv,
     records_t = _gather(rec_n, gid_pad)
     return composite_forward(
         records_t, *chunks,
-        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk, interpret=interpret,
+        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
+        tile_w=tile_w, tile_h=tile_h, interpret=interpret,
     )
 
 
 def _gather_composite_fwd(rec_n, inv_perm, gid_pad, pos_of_entry,
                           surv, seg_starts, chunks, n_tiles, tiles_x, chunk,
-                          interpret):
+                          tile_w, tile_h, interpret):
     records_t = _gather(rec_n, gid_pad)
     out = composite_forward(
         records_t, *chunks,
-        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk, interpret=interpret,
+        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
+        tile_w=tile_w, tile_h=tile_h, interpret=interpret,
     )
     return out, (records_t, chunks, out, inv_perm, pos_of_entry, surv,
                  seg_starts)
 
 
-def _gather_composite_bwd(n_tiles, tiles_x, chunk, interpret, res, g_out):
+def _gather_composite_bwd(n_tiles, tiles_x, chunk, tile_w, tile_h,
+                          interpret, res, g_out):
     records_t, chunks, out, inv_perm, pos_of_entry, surv, seg_starts = res
     grec_t = composite_backward(
         records_t, *chunks,
         out, g_out, n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
-        interpret=interpret,
+        tile_w=tile_w, tile_h=tile_h, interpret=interpret,
     )                                             # [16, n_chunks*chunk]
     # Gather formulation (measured on-chip, v5e, round-2 trace): ONE
     # exact f32 row gather (7.7 ms at 1.2M output rows). The earlier
@@ -218,6 +222,8 @@ def render(
     pixel_offset_y: jnp.ndarray | int = 0,
     full_height: int | None = None,
     interpret: bool = False,
+    tile_w: int | None = None,
+    tile_h: int | None = None,
 ) -> dict:
     """Render N Gaussians to an RGB+depth+alpha image. See module docstring.
 
@@ -252,6 +258,7 @@ def render(
         splats, width, height, bg,
         capacity=capacity, chunk=chunk,
         pixel_offset_y=pixel_offset_y, interpret=interpret,
+        tile_w=tile_w, tile_h=tile_h,
     )
 
 
@@ -264,6 +271,8 @@ def render_from_splats(
     chunk: int = 384,
     pixel_offset_y: jnp.ndarray | int = 0,
     interpret: bool = False,
+    tile_w: int | None = None,
+    tile_h: int | None = None,
 ) -> dict:
     """Rasterize already-projected splats (a ProjectedSplats, probes
     applied) into a height-row image starting at screen row
@@ -274,8 +283,9 @@ def render_from_splats(
     (psum_scatter) routes record gradients straight back to the owning
     shard."""
     n = splats.means2d.shape[0]
-    tiles_x = cdiv(width, TILE)
-    tiles_y = cdiv(height, TILE)
+    tile_w, tile_h = resolve_tile(tile_w, tile_h)
+    tiles_x = cdiv(width, tile_w)
+    tiles_y = cdiv(height, tile_h)
     n_tiles = tiles_x * tiles_y
 
     means2d = splats.means2d
@@ -290,7 +300,7 @@ def render_from_splats(
         width, height, capacity=capacity, chunk=chunk,
         conics=jax.lax.stop_gradient(splats.conics),
         opacities=jax.lax.stop_gradient(splats.opacities),
-        interpret=interpret,
+        interpret=interpret, tile_w=tile_w, tile_h=tile_h,
     )
 
     # --- gather per-entry records (differentiable: grads scatter-add back)
@@ -316,13 +326,14 @@ def render_from_splats(
         binned.seg_starts,
         (binned.chunk_tile, binned.chunk_s0, binned.chunk_lo,
          binned.chunk_hi, binned.chunk_first, binned.n_chunks_used),
-        n_tiles, tiles_x, chunk, interpret,
+        n_tiles, tiles_x, chunk, tile_w, tile_h, interpret,
     )
 
     # --- assemble images -------------------------------------------------
-    body = tiles_out[:n_tiles].reshape(tiles_y, tiles_x, ACC_ROWS, TILE, TILE)
+    body = tiles_out[:n_tiles].reshape(
+        tiles_y, tiles_x, ACC_ROWS, tile_h, tile_w)
     full = body.transpose(2, 0, 3, 1, 4).reshape(
-        ACC_ROWS, tiles_y * TILE, tiles_x * TILE
+        ACC_ROWS, tiles_y * tile_h, tiles_x * tile_w
     )[:, :height, :width]
     rgb_acc = full[0:3]
     depth_acc = full[3]

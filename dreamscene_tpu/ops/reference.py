@@ -31,14 +31,17 @@ def composite_reference(
     width: int,
     height: int,
     bg: jnp.ndarray,
+    tile_w: int | None = None,
+    tile_h: int | None = None,
 ) -> dict:
     """Depth-ordered full-frame compositing via lax.scan.
 
     Returns dict with image [3,H,W], depth [H,W], alpha [H,W],
     important_score [N] (per-splat accumulated blend contribution).
     """
-    from dreamscene_tpu.ops.binning import TILE
+    from dreamscene_tpu.ops.binning import resolve_tile
 
+    tile_w, tile_h = resolve_tile(tile_w, tile_h)
     n = splats.means2d.shape[0]
     order = jnp.argsort(jnp.where(splats.visible, splats.depths, jnp.inf))
 
@@ -53,8 +56,8 @@ def composite_reference(
     py = jnp.arange(height, dtype=jnp.float32)[:, None]
     # tile id of each pixel (CUDA composites a splat only inside its
     # radius tile-rect — the >3-sigma tails are cut at tile granularity)
-    tx_pix = jnp.floor(px / TILE)
-    ty_pix = jnp.floor(py / TILE)
+    tx_pix = jnp.floor(px / tile_w)
+    ty_pix = jnp.floor(py / tile_h)
 
     def step(carry, inp):
         rgb, depth_acc, t, score_acc_unused = carry
@@ -62,10 +65,10 @@ def composite_reference(
         dx = mean[0] - px
         dy = mean[1] - py
         # CUDA getRect tile bounds (binning.bin_splats uses the same)
-        x0 = jnp.floor((mean[0] - radius) / TILE)
-        y0 = jnp.floor((mean[1] - radius) / TILE)
-        x1 = jnp.floor((mean[0] + radius + TILE - 1) / TILE)
-        y1 = jnp.floor((mean[1] + radius + TILE - 1) / TILE)
+        x0 = jnp.floor((mean[0] - radius) / tile_w)
+        y0 = jnp.floor((mean[1] - radius) / tile_h)
+        x1 = jnp.floor((mean[0] + radius + tile_w - 1) / tile_w)
+        y1 = jnp.floor((mean[1] + radius + tile_h - 1) / tile_h)
         in_rect = (
             (tx_pix >= x0) & (tx_pix < x1) & (ty_pix >= y0) & (ty_pix < y1)
         )
@@ -123,6 +126,8 @@ def render_reference(
     scale_modifier=1.0,
     valid_mask=None,
     colors_precomp=None,
+    tile_w=None,
+    tile_h=None,
 ):
     """Full golden render path: projection + reference composite."""
     splats = project_gaussians(
@@ -143,6 +148,7 @@ def render_reference(
         valid_mask=valid_mask,
         colors_precomp=colors_precomp,
     )
-    out = composite_reference(splats, width, height, bg)
+    out = composite_reference(splats, width, height, bg,
+                              tile_w=tile_w, tile_h=tile_h)
     out["radii"] = splats.radii
     return out

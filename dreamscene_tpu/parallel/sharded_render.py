@@ -72,10 +72,12 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
     sharded over "dp" and H over "tp"."""
     n_tp = mesh.shape["tp"]
     assert height % n_tp == 0, (height, n_tp)
+    from dreamscene_tpu.ops.binning import DEFAULT_TILE_H
+
     band_h = height // n_tp
     # tile-aligned bands keep the per-tile rect-cull semantics identical
-    # to the single-chip render (the CUDA getRect contract is 16px tiles)
-    assert band_h % 16 == 0, (band_h, "bands must be tile-aligned")
+    # to the single-chip render (splat tails are cut at tile granularity)
+    assert band_h % DEFAULT_TILE_H == 0, (band_h, "bands must be tile-aligned")
 
     @functools.partial(
         jax.shard_map,
@@ -120,8 +122,10 @@ def make_primitive_sharded_render(mesh: Mesh, width: int, height: int,
     dp-sharded camera batch. N must divide by mesh n_tp."""
     n_tp = mesh.shape["tp"]
     assert height % n_tp == 0, (height, n_tp)
+    from dreamscene_tpu.ops.binning import DEFAULT_TILE_H
+
     band_h = height // n_tp
-    assert band_h % 16 == 0, (band_h, "bands must be tile-aligned")
+    assert band_h % DEFAULT_TILE_H == 0, (band_h, "bands must be tile-aligned")
 
     @functools.partial(
         jax.shard_map,
@@ -190,9 +194,12 @@ def make_fps_camera_render(mesh: Mesh, width: int, height: int,
     Returns: images [B,3,H,W], disps [B,1,H,W], alphas [B,1,H,W],
       radii [N], visible [N], scales_mean [1], n_entries [1], n_dropped [1].
     """
+    from dreamscene_tpu.ops.binning import DEFAULT_TILE_H
+
     n_tp = mesh.shape["tp"]
     n_dp = mesh.shape["dp"]
-    assert height % n_tp == 0 and (height // n_tp) % 16 == 0, (height, n_tp)
+    assert height % n_tp == 0 and (height // n_tp) % DEFAULT_TILE_H == 0, (
+        height, n_tp)
     assert c_batch % n_dp == 0, (c_batch, n_dp)
     band_h = height // n_tp
     b_local = c_batch // n_dp

@@ -511,7 +511,7 @@ class ObjectTrainer:
         loss, n_entries, n_dropped = jax.device_get(
             (loss, n_entries, n_dropped))
         if self.cap_ctrl.update(n_band, int(n_entries), int(n_dropped)):
-            logger.info("entry capacity multiplier -> %dx (entries %d, "
+            logger.info("entry capacity multiplier -> %.2fx (entries %d, "
                         "dropped %d)", self.cap_ctrl.mult, int(n_entries),
                         int(n_dropped))
 

@@ -39,7 +39,9 @@ from bench import build_scene
 from dreamscene_tpu.ops.rasterizer import render
 from dreamscene_tpu.ops.reference import render_reference
 
-report = {"ok": True}
+from dreamscene_tpu.ops.binning import DEFAULT_TILE_H, DEFAULT_TILE_W
+
+report = {"ok": True, "tile": [DEFAULT_TILE_W, DEFAULT_TILE_H]}
 
 
 def fail(key, val):
@@ -145,7 +147,12 @@ img_i, alpha_i, nd_i = jax.jit(lambda m: full(m, True))(big["means3d"])
 # class (int-key corruption) moves the p99 BULK by orders of magnitude.
 g_c = jax.jit(jax.grad(lambda p: full_loss(p, False)))(big)
 g_i = jax.jit(jax.grad(lambda p: full_loss(p, True)))(big)
-for k in ("means3d", "opacities", "scales"):
+# ALL differentiated params gate the kernel (VERDICT r3 item 3): `shs`
+# exercises _bwd_kernel's gcd color rows + the SH chain, `quats` the
+# conic-gradient moment rows (g_ca/g_cb/g_cc) through the covariance
+# chain — each a distinct Mosaic matmul path a full-scale-only
+# miscompile could corrupt alone.
+for k in ("means3d", "opacities", "scales", "shs", "quats"):
     dc, di = np.asarray(g_c[k]).ravel(), np.asarray(g_i[k]).ravel()
     scale = max(float(np.abs(di).max()), 1e-12)
     rel = np.abs(dc - di) / scale

@@ -70,23 +70,30 @@ def _tile_entry_sets(b, n_tiles):
     return out
 
 
-@pytest.mark.parametrize("aniso,seed", [(0.9, 0), (1.6, 3), (0.2, 7)])
-def test_cull_predicate_exactly_conservative(aniso, seed):
+@pytest.mark.parametrize("aniso,seed,tw,th", [
+    (0.9, 0, 16, 16), (1.6, 3, 16, 16), (0.2, 7, 16, 16),
+    (0.9, 0, 32, 16), (1.6, 3, 32, 16), (1.6, 5, 16, 32),
+])
+def test_cull_predicate_exactly_conservative(aniso, seed, tw, th):
     """Every (splat, tile) entry removed by the in-kernel ellipse cull
-    must be provably zero: brute-force the kernel's alpha over all 256
-    pixels of the tile. Needle scenes (aniso=1.6) stress the
-    rotation-aware threshold. Also: culling must only REMOVE entries."""
+    must be provably zero: brute-force the kernel's alpha over all
+    pixels of the (tile_w x tile_h) tile. Needle scenes (aniso=1.6)
+    stress the rotation-aware threshold; anisotropic tiles stress the
+    per-axis half-extents. Also: culling must only REMOVE entries."""
     scene = _scene(seed=seed, aniso=aniso)
-    cam = make_camera(48, 48)
-    sp = _project(scene, cam)
-    cap = 8 * 300
-    kw = dict(capacity=cap, chunk=128, interpret=True)
+    wh = 96 if max(tw, th) > 16 else 48   # keep >= 3 tiles per axis
+    cam = make_camera(wh, wh)
+    sp = _project(scene, cam, wh=wh)
+    cap = 16 * 300
+    kw = dict(capacity=cap, chunk=128, interpret=True,
+              tile_w=tw, tile_h=th)
     b_nc = B.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible,
-                        48, 48, **kw)
+                        wh, wh, **kw)
     b_c = B.bin_splats(sp.means2d, sp.depths, sp.radii, sp.visible,
-                       48, 48, conics=sp.conics, opacities=sp.opacities,
+                       wh, wh, conics=sp.conics, opacities=sp.opacities,
                        **kw)
-    n_tiles = 9
+    tiles_x = -(-wh // tw)
+    n_tiles = tiles_x * (-(-wh // th))
     nc = _tile_entry_sets(b_nc, n_tiles)
     c = _tile_entry_sets(b_c, n_tiles)
     culled = []
@@ -99,12 +106,11 @@ def test_cull_predicate_exactly_conservative(aniso, seed):
     mx, my = np.asarray(sp.means2d).T
     ca, cb, cc = np.asarray(sp.conics).T
     opa = np.asarray(sp.opacities)
-    tiles_x = 3
     for g, t in culled:
-        x0, y0 = (t % tiles_x) * 16, (t // tiles_x) * 16
+        x0, y0 = (t % tiles_x) * tw, (t // tiles_x) * th
         px, py = np.meshgrid(
-            np.arange(x0, x0 + 16, dtype=np.float32),
-            np.arange(y0, y0 + 16, dtype=np.float32),
+            np.arange(x0, x0 + tw, dtype=np.float32),
+            np.arange(y0, y0 + th, dtype=np.float32),
         )
         dx, dy = mx[g] - px, my[g] - py
         power = -0.5 * (ca[g] * dx * dx + cc[g] * dy * dy) - cb[g] * dx * dy

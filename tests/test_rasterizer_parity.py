@@ -100,6 +100,23 @@ class TestForwardParity:
         got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
         np.testing.assert_allclose(got["image"], ref["image"], atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("tw,th", [(32, 16), (16, 32), (32, 32)])
+    def test_anisotropic_tiles_match_reference(self, tw, th):
+        """Generalized (tile_w, tile_h) tiles (ROADMAP lead 1): the tile
+        rect is the CONTRACT (compositing cuts splat tails at tile
+        granularity), so the golden takes the same tile shape."""
+        scene = make_scene(300, seed=7)
+        cam = make_camera(96, 64)
+        kw = camera_kwargs(cam)
+        ref = render_reference(**scene, **kw, bg=BG, sh_degree=2,
+                               tile_w=tw, tile_h=th)
+        got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True,
+                     chunk=128, tile_w=tw, tile_h=th)
+        assert int(got["n_dropped"]) == 0
+        np.testing.assert_allclose(got["image"], ref["image"], atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(got["depth"], ref["depth"], atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(got["alpha"], ref["alpha"], atol=1e-5, rtol=1e-4)
+
     def test_valid_mask_excludes_splats(self):
         scene = make_scene(100, seed=4)
         cam = make_camera(32, 32)
@@ -144,6 +161,39 @@ class TestBackwardParity:
             np.testing.assert_allclose(
                 pal_g / scale, ref_g / scale, atol=2e-4,
                 err_msg=f"gradient mismatch for {key}",
+            )
+
+    def test_anisotropic_tile_grads_match_reference(self):
+        """Full autodiff parity at 32x16 tiles (the measured capacity-lever
+        candidate): exercises the non-exact-moment split path of
+        _bwd_kernel and the per-axis recentering."""
+        scene = make_scene(250, seed=5)
+        cam = make_camera(64, 48)
+        kw = camera_kwargs(cam)
+        rng = np.random.RandomState(9)
+        target = jnp.asarray(rng.rand(3, 48, 64).astype(np.float32))
+
+        def loss_ref(s):
+            out = render_reference(**s, **kw, bg=BG, sh_degree=2,
+                                   tile_w=32, tile_h=16)
+            return jnp.mean((out["image"] - target) ** 2) \
+                + 0.1 * jnp.mean(out["depth"]) + 0.05 * jnp.mean(out["alpha"])
+
+        def loss_pal(s):
+            out = render(**s, **kw, bg=BG, sh_degree=2, interpret=True,
+                         tile_w=32, tile_h=16)
+            return jnp.mean((out["image"] - target) ** 2) \
+                + 0.1 * jnp.mean(out["depth"]) + 0.05 * jnp.mean(out["alpha"])
+
+        g_ref = jax.grad(loss_ref)(scene)
+        g_pal = jax.grad(loss_pal)(scene)
+        for key in ["means3d", "scales", "quats", "opacities", "shs"]:
+            ref_g = np.asarray(g_ref[key])
+            pal_g = np.asarray(g_pal[key])
+            scale = np.abs(ref_g).max() + 1e-8
+            np.testing.assert_allclose(
+                pal_g / scale, ref_g / scale, atol=2e-4,
+                err_msg=f"gradient mismatch for {key} at 32x16 tiles",
             )
 
     def test_means2d_probe_gradient(self):
