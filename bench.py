@@ -36,9 +36,11 @@ CUDA_NOMINAL_PIXPS = 26.2e6
 # methodology: 4N saturates on this deliberately dense synthetic scene,
 # cutting the farthest ~40% of raw entries).
 CAP_MULT = int(os.environ.get("BENCH_CAP_MULT", 4))
-# composite record-chunk length (round-3 solo A/B on v5e at 16x16 tiles:
-# 256 -> 5.91, 384 -> 6.00, 512 -> 5.24 Mpix/s)
-CHUNK = int(os.environ.get("BENCH_CHUNK", 384))
+# composite record-chunk length. Round-4 A/B at 32x16 tiles, zero-drop
+# capacity 1.425M: 256 -> 4.61, 384 -> 4.65, 512 -> 4.70 Mpix/s (the
+# round-3 16x16 sweep had 384 optimal; wider tiles amortize per-chunk
+# fixed cost so the bigger chunk wins). Must be a multiple of 128.
+CHUNK = int(os.environ.get("BENCH_CHUNK", 512))
 # 1 (default) = time a host-side python loop over jitted steps — the
 # dispatch pipelines (async), so this is close to device time and is the
 # methodology of every recorded number (BENCH_r01/r02, ROADMAP A/Bs).
@@ -104,7 +106,7 @@ def tracked_capacity(scene, cam, cam_arrays):
     return ctrl.capacity(N_GAUSSIANS), raw
 
 
-def measure(scene, cam, cam_arrays, capacity, host_loop=None):
+def measure(scene, cam, cam_arrays, capacity, host_loop=None, tile=None):
     import jax
     import jax.numpy as jnp
 
@@ -112,6 +114,7 @@ def measure(scene, cam, cam_arrays, capacity, host_loop=None):
 
     if host_loop is None:
         host_loop = HOST_LOOP
+    tile_w, tile_h = tile if tile else (None, None)
 
     def loss_fn(params):
         out = render(
@@ -119,7 +122,7 @@ def measure(scene, cam, cam_arrays, capacity, host_loop=None):
             tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
             width=WIDTH, height=HEIGHT,
             bg=jnp.zeros((3,), jnp.float32), sh_degree=2, capacity=capacity,
-            chunk=CHUNK,
+            chunk=CHUNK, tile_w=tile_w, tile_h=tile_h,
         )
         return (
             jnp.mean(out["image"]) + 0.1 * jnp.mean(out["depth"])
@@ -219,12 +222,17 @@ def main():
     # crosses the tunnel once so its timing cannot under-count (measured
     # equal to host-loop at cap4 in BENCH_r03: 6.518 vs 6.515 Mpix/s).
     if os.environ.get("BENCH_SKIP_CAP4") != "1":
+        # pinned to 16x16 tiles: the rounds-1..3 methodology was CAP4 AT
+        # 16x16, and the tile shape changes both raw entries and work per
+        # entry — only the full recorded combination is comparable.
         c4_pix_ps, c4_dropped = measure(
-            scene, cam, cam_arrays, CAP_MULT * N_GAUSSIANS, host_loop=0)
+            scene, cam, cam_arrays, CAP_MULT * N_GAUSSIANS, host_loop=0,
+            tile=(16, 16))
         result["cap4_pixels_per_s"] = round(c4_pix_ps, 1)
         result["cap4_vs_baseline"] = round(c4_pix_ps / CUDA_NOMINAL_PIXPS, 4)
         result["cap4_entries_dropped"] = c4_dropped
         result["cap4_cap_mult"] = CAP_MULT
+        result["cap4_tile"] = [16, 16]
     # device-steady-state companion: the headline step chained on-device
     # via lax.scan — no per-step dispatch, so the axon tunnel's ~1.5ms
     # per-execute overhead (absent on local TPU hardware) drops out.

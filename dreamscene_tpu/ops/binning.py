@@ -55,8 +55,11 @@ TILE_PIX = TILE * TILE
 # kernel entry-pixel pairs against raw entry count — measured on the
 # bench scene, 32x16 cuts raw entries to 0.643x (so the capacity-
 # proportional XLA per-entry stack shrinks with it) at 1.286x pairs.
-# Resolution order: explicit argument > DS_TILE_W/DS_TILE_H env > 16.
-DEFAULT_TILE_W = int(os.environ.get("DS_TILE_W", "16"))
+# 32x16 is the measured round-4 default: controller-tracked zero-drop
+# throughput 2.98 -> 4.66 Mpix/s on-chip vs 16x16 (chunk 384), with
+# full-scale compiled parity green at both shapes.
+# Resolution order: explicit argument > DS_TILE_W/DS_TILE_H env > default.
+DEFAULT_TILE_W = int(os.environ.get("DS_TILE_W", "32"))
 DEFAULT_TILE_H = int(os.environ.get("DS_TILE_H", "16"))
 
 
@@ -74,6 +77,11 @@ _CAPS_VIA_SORT = os.environ.get("DS_CAPS_VIA_SORT", "1") == "1"
 # packed (basenx, count) single-payload sort applies while their bits fit
 # this budget (module-level so tests can force the unpacked branch)
 _SORT_PACK_BIT_BUDGET = 31
+# expand-kernel entry block length. Its window-mask compare cost scales
+# ~ capacity * (block / (128 * entries_per_splat) + 2): wider tiles
+# (fewer entries/splat) push the optimum DOWN, per-block fixed cost
+# pushes it up — A/B'd on chip (see ROADMAP round-4).
+_EXPAND_BLOCK = int(os.environ.get("DS_EXPAND_BLOCK", "2048"))
 
 
 def cdiv(a: int, b: int) -> int:
@@ -288,7 +296,7 @@ def bin_splats(
         offsets, basenx, perm, total,
         capacity=capacity, n=n, n_tiles=n_tiles, tiles_x=tiles_x,
         shift=shift, rank_drop=rank_drop, caps=caps, interpret=interpret,
-        tile_w=tile_w, tile_h=tile_h,
+        block=_EXPAND_BLOCK, tile_w=tile_w, tile_h=tile_h,
     )
 
     # 4. sort entries by the packed key (u32-reinterpreted: the in-kernel

@@ -213,7 +213,7 @@ def render(
     sh_degree: int = 3,
     scale_modifier: float = 1.0,
     capacity: int | None = None,
-    chunk: int = 384,
+    chunk: int = 512,
     valid_mask: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
@@ -268,7 +268,7 @@ def render_from_splats(
     height: int,
     bg: jnp.ndarray,
     capacity: int,
-    chunk: int = 384,
+    chunk: int = 512,
     pixel_offset_y: jnp.ndarray | int = 0,
     interpret: bool = False,
     tile_w: int | None = None,

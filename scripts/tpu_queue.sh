@@ -10,7 +10,7 @@ echo "=== queue start $(date)"
 echo "--- 0. bench (defaults; headline + zero-drop in one JSON line)"
 timeout 1800 python bench.py 2>&1 | grep -v WARNING
 echo "--- 1. bench A/B: caps-via-sort OFF (the round-2 default-flip decider)"
-timeout 900 env BENCH_SKIP_ZERO_DROP=1 DS_CAPS_VIA_SORT=0 python bench.py 2>&1 | grep -v WARNING
+timeout 900 env BENCH_SKIP_CAP4=1 BENCH_SKIP_DEVICE_STEADY=1 DS_CAPS_VIA_SORT=0 python bench.py 2>&1 | grep -v WARNING
 echo "--- 2. TPU parity (compiled vs golden, mid + full-scale fwd/grad)"
 timeout 1800 python scripts/tpu_parity.py 2>&1 | grep -v WARNING
 echo "--- 3. trace (decode for the per-kernel breakdown)"

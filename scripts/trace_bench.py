@@ -16,7 +16,12 @@ cam_arrays = dict(
     projmatrix=jnp.asarray(cam.full_proj_transform),
     campos=jnp.asarray(cam.camera_center),
 )
-capacity = 4 * N_GAUSSIANS
+import os
+
+# default: the controller-tracked zero-drop capacity of the bench view at
+# the default tile shape (the headline methodology); override to trace
+# other capacities, e.g. TRACE_CAPACITY=1200000 for the CAP4 companion.
+capacity = int(os.environ.get("TRACE_CAPACITY", 1_425_000))
 
 
 def loss_fn(params):

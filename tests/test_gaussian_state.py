@@ -250,34 +250,3 @@ class TestInitializers:
         assert abs(pts[:, 2].mean() - 0.0) < 0.05
 
 
-class TestCapacityController:
-    def test_grow_shrink_hysteresis(self):
-        from dreamscene_tpu.training.capacity import CapacityController
-
-        c = CapacityController(shrink_patience=3)
-        n = 1000
-        assert c.capacity(n) == 4000
-        # drops -> immediate grow
-        assert c.update(n, 3900, 100)
-        assert c.mult == 8
-        # at max: no further growth
-        c.mult = c.max_mult
-        assert not c.update(n, 10000, 5000)
-        assert c.mult == c.max_mult
-        # sustained low usage -> shrink after patience
-        c2 = CapacityController(shrink_patience=3)
-        for _ in range(2):
-            assert not c2.update(n, 1000, 0)
-        assert c2.update(n, 1000, 0)
-        assert c2.mult == 2
-        # min clamp
-        for _ in range(10):
-            c2.update(n, 100, 0)
-        assert c2.mult == c2.min_mult
-        # streak resets when usage spikes
-        c3 = CapacityController(shrink_patience=3)
-        c3.update(n, 1000, 0)
-        c3.update(n, 3900, 0)   # near-full, no drop
-        c3.update(n, 1000, 0)
-        assert not c3.update(n, 1000, 0)
-        assert c3.mult == 4
