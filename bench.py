@@ -21,6 +21,9 @@ comparability with every recorded number) and a device-steady lax.scan
 chain (no per-step dispatch, so the axon tunnel's ~1.5 ms per-execute
 tax drops out).
 """
+import os as _os_cache
+_os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os_cache.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")
 
 import json
 import os
@@ -106,7 +109,8 @@ def tracked_capacity(scene, cam, cam_arrays):
     return ctrl.capacity(N_GAUSSIANS), raw
 
 
-def measure(scene, cam, cam_arrays, capacity, host_loop=None, tile=None):
+def measure(scene, cam, cam_arrays, capacity, host_loop=None, tile=None,
+            chunk=None):
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +118,8 @@ def measure(scene, cam, cam_arrays, capacity, host_loop=None, tile=None):
 
     if host_loop is None:
         host_loop = HOST_LOOP
+    if chunk is None:
+        chunk = CHUNK
     tile_w, tile_h = tile if tile else (None, None)
 
     def loss_fn(params):
@@ -122,7 +128,7 @@ def measure(scene, cam, cam_arrays, capacity, host_loop=None, tile=None):
             tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
             width=WIDTH, height=HEIGHT,
             bg=jnp.zeros((3,), jnp.float32), sh_degree=2, capacity=capacity,
-            chunk=CHUNK, tile_w=tile_w, tile_h=tile_h,
+            chunk=chunk, tile_w=tile_w, tile_h=tile_h,
         )
         return (
             jnp.mean(out["image"]) + 0.1 * jnp.mean(out["depth"])
@@ -222,17 +228,20 @@ def main():
     # crosses the tunnel once so its timing cannot under-count (measured
     # equal to host-loop at cap4 in BENCH_r03: 6.518 vs 6.515 Mpix/s).
     if os.environ.get("BENCH_SKIP_CAP4") != "1":
-        # pinned to 16x16 tiles: the rounds-1..3 methodology was CAP4 AT
-        # 16x16, and the tile shape changes both raw entries and work per
-        # entry — only the full recorded combination is comparable.
+        # pinned to 16x16 tiles AND chunk 384: the rounds-1..3
+        # methodology was CAP4 at 16x16/chunk-384 (384 is the measured
+        # optimum for that combination — 512 regressed it to ~5.5), and
+        # the tile shape changes both raw entries and work per entry —
+        # only the full recorded combination is comparable.
         c4_pix_ps, c4_dropped = measure(
             scene, cam, cam_arrays, CAP_MULT * N_GAUSSIANS, host_loop=0,
-            tile=(16, 16))
+            tile=(16, 16), chunk=384)
         result["cap4_pixels_per_s"] = round(c4_pix_ps, 1)
         result["cap4_vs_baseline"] = round(c4_pix_ps / CUDA_NOMINAL_PIXPS, 4)
         result["cap4_entries_dropped"] = c4_dropped
         result["cap4_cap_mult"] = CAP_MULT
         result["cap4_tile"] = [16, 16]
+        result["cap4_chunk"] = 384
     # device-steady-state companion: the headline step chained on-device
     # via lax.scan — no per-step dispatch, so the axon tunnel's ~1.5ms
     # per-execute overhead (absent on local TPU hardware) drops out.

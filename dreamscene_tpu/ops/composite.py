@@ -89,9 +89,57 @@ ACC_ROWS = 8
 
 NBUF = 4     # record-stream multi-buffering depth
 
+# NOTE (round-4 measured dead end): a 2x manual chunk-loop unroll
+# (two verbatim body copies + predicated odd epilogue, targeting the
+# ~1.1-1.7us/chunk fixed cost) measured 4.711 vs 4.714 Mpix/s in a
+# clean interleaved A/B — ZERO effect. The scalar core already runs
+# the loop bookkeeping ahead of the vector stream (the round-3
+# scalar-prefetch-only live gate bought exactly that), so there is no
+# fixed cost left for unrolling to amortize. An earlier non-interleaved
+# run showed "+3.7%" — that was cold-chip drift, which is why A/Bs here
+# interleave a closing drift leg.
+import os as _os
+
+
+def _chunk_loop(n_u, body):
+    jax.lax.fori_loop(0, n_u, body, (), unroll=False)
+
 # Measurement hook (scripts/micro_chunk_overhead.py): force the chunk
 # math off to expose the loop+DMA fixed cost. Never set in production.
 _STUB_MATH = False
+
+# Replace the bwd kernel's [256, CHUNK] f32 divide (inv_q = 1/q) with
+# Mosaic's approximate reciprocal + ONE Newton step r' = r*(2 - q*r):
+# squares the ~2^-12 approx error to ~2^-24 (f32-class) at 3 cheap VPU
+# ops instead of a full-precision divide. A/B'd on chip.
+_APPROX_RECIP = _os.environ.get("DS_APPROX_RECIP", "0") == "1"
+
+# NOTE (round-4 measured dead end): a factored (Horner-like) exponent
+# `dx*(nca*dx - cb*dy) + ncc*dy*dy` (9 -> 7 [256, CHUNK] VPU ops, the
+# -0.5 scalings folded into [1, CHUNK] conic rows) measured 4.61 vs
+# 4.71 Mpix/s (-2%): Mosaic schedules the expanded form's independent
+# product chains better than the factored form's serial dependency.
+# Op-count is not the VPU cost model — dependency depth is.
+
+
+def _inv(q):
+    if not _APPROX_RECIP:
+        return 1.0 / q
+    r = pl.reciprocal(q, approx=True)
+    return r * (2.0 - q * r)
+
+
+# NOTE (round-4 measured dead end): computing `power` as a pixel-moment
+# MXU matmul (the bwd gradient-reduction trick run forward) LOST 14% on
+# chip (4.04 vs 4.71 Mpix/s device-steady). Two compounding reasons:
+# (a) the constant coefficient is power-at-tile-center, ~-300 for a
+# small splat clipping the tile corner while live power is O(-5), so
+# matching the VPU path's numerics needs a 3-way coef split x 2-way
+# moment split = SIX MXU passes; (b) K=8 matmuls use 8/128 of the
+# systolic array — six of them cost more than the ~11 VPU ops they
+# replace. The quadratic tile-center expansion is fine for gradient
+# REDUCTIONS (the bwd G-matmul — output is per-entry, error lands on
+# ~1e-5-of-gradient terms) but not for the forward exponent.
 
 N_MOM = 8      # pixel-moment rows [1, px', py', px'^2, py'^2, px'py', 0, 0]
 
@@ -349,7 +397,7 @@ def _fwd_kernel(
 
         return ()
 
-    jax.lax.fori_loop(0, n_u, body, (), unroll=False)
+    _chunk_loop(n_u, body)
 
 
 @functools.partial(
@@ -556,7 +604,7 @@ def _bwd_kernel(
                 contrib, cd, (((1,), (1,)), ((), ()))
             )
 
-            inv_q = 1.0 / q
+            inv_q = _inv(q)
             galpha = (
                 t_excl * cg_dot - sdotg * inv_q
                 - g_t_col * t_final_col * inv_q
@@ -620,7 +668,7 @@ def _bwd_kernel(
         ).start()
         return ()
 
-    jax.lax.fori_loop(0, n_u, body, (), unroll=False)
+    _chunk_loop(n_u, body)
 
     # drain the last two output DMAs (dynamic bound: grad rows for chunks
     # >= n_u are never written — the VJP masks them by position instead)

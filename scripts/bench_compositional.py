@@ -6,6 +6,9 @@ Builds five 60K-splat objects (300K total), places them via the scene
 placement pipeline (affine T/R/S + SH rotation, models/scene.py), and
 times a full differentiable scene_render step. Prints one JSON line.
 """
+import os as _os_cache
+_os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os_cache.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")
 import dataclasses
 import json
 import sys

@@ -11,6 +11,9 @@ regularizers, backward to all splat params, masked Adam.
 
 Prints one JSON line with steps/s and ms/step per ladder length.
 """
+import os as _os_cache
+_os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os_cache.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")
 import json
 import os
 import sys

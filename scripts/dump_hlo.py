@@ -1,4 +1,7 @@
 """Dump the compiled HLO of the bench step and summarize named fusions."""
+import os as _os_cache
+_os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os_cache.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")
 import re
 import sys
 sys.path.insert(0, "/root/repo")
@@ -17,7 +20,8 @@ cam_arrays = dict(
     projmatrix=jnp.asarray(cam.full_proj_transform),
     campos=jnp.asarray(cam.camera_center),
 )
-capacity = 4 * N_GAUSSIANS
+import os
+capacity = int(os.environ.get("TRACE_CAPACITY", 1_425_000))
 
 
 def loss_fn(params):

@@ -17,6 +17,9 @@ the remaining angles:
 Each timing loops K times inside one jit chained through a non-foldable
 nudge (tunnel per-execute overhead must be amortized).
 """
+import os as _os_cache
+_os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os_cache.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")
 import sys
 import time
 

@@ -25,6 +25,9 @@ Checks the CPU-interpret CI cannot do:
 Run: timeout 580 python scripts/tpu_parity.py            (TPU tunnel env)
 Prints one JSON line {"ok": bool, ...metrics}. Exit 1 on failure.
 """
+import os as _os_cache
+_os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os_cache.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "4")
 import json
 import sys
 

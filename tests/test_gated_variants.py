@@ -52,3 +52,4 @@ def test_caps_via_sort_identical(monkeypatch):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(z), err_msg=name + " unpacked")
+
