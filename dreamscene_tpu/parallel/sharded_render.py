@@ -27,7 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dreamscene_tpu.models.gaussians import GaussianParams, adam_update
 from dreamscene_tpu.ops.projection import project_gaussians
@@ -164,6 +164,31 @@ def make_primitive_sharded_render(mesh: Mesh, width: int, height: int,
         return jnp.stack(images), jnp.stack(alphas)
 
     return render_fn
+
+
+def shard_splat_state(mesh: Mesh, state, logger=None):
+    """Lay a GaussianState's splat-major leaves out SHARDED over the tp
+    axis (1/n_tp rows per device — the ZeRO-style params/Adam/aux memory
+    scaling of BASELINE.json config 5). Matches the P("tp") splat
+    in_specs of the shard_maps here, so the step slices nothing and
+    GSPMD keeps every elementwise stage (activations, Adam) partition-
+    local. device_put with an already-matching sharding is a no-op;
+    non-divisible capacities fall back to replicated with a warning."""
+    n_tp = mesh.shape["tp"]
+    cap = state.capacity
+    if cap % n_tp != 0:
+        if logger is not None:
+            logger.warning(
+                "capacity %d %% tp %d != 0 — persistent state stays "
+                "replicated (no ZeRO memory scaling)", cap, n_tp)
+        return state
+
+    def put(x):
+        splat_major = hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap
+        spec = P("tp", *([None] * (x.ndim - 1))) if splat_major else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, state)
 
 
 def make_fps_camera_render(mesh: Mesh, width: int, height: int,

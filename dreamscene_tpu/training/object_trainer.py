@@ -225,6 +225,24 @@ class ObjectTrainer:
             )
 
     # ------------------------------------------------------------------
+    def _shard_state(self, state):
+        """Persist the splat-major state SHARDED over the tp axis — the
+        ZeRO-style params/Adam/aux memory scaling (1/n_tp per device)
+        that the 1M-splat outdoor configs need (BASELINE.json config 5).
+        The sharding matches make_fps_camera_render's splat in_specs
+        (P("tp")), so the shard_map slices nothing, and every
+        elementwise stage of the jitted step (activations, Adam) runs
+        partition-local under GSPMD. device_put with an already-matching
+        sharding is a no-op, so this is called once per step; after a
+        densify/capacity-growth rebuild it re-lays the new host arrays.
+        Non-divisible capacities fall back to replicated WITH a warning
+        (same contract as SceneTrainer's splat_pad)."""
+        if self.mesh is None or not self.shard_splats:
+            return state
+        from dreamscene_tpu.parallel.sharded_render import shard_splat_state
+
+        return shard_splat_state(self.mesh, state, logger)
+
     def prepare_train(self):
         if self.guidance is None:
             self.guidance = mtsd.make_tiny_guidance(self.guidance_opt)
@@ -442,7 +460,7 @@ class ObjectTrainer:
         self.step += 1
         optim = self.optim
         iters = optim.iterations
-        st = self.state
+        self.state = st = self._shard_state(self.state)
 
         if self.step % 500 == 0:
             self.state = st = st.one_up_sh_degree()

@@ -347,6 +347,13 @@ class SceneTrainer:
             + [self.scene.floor, self.scene.env]
         )
 
+    def _write_back_states(self, names, states):
+        """Inverse of _states: re-home whole states (same concat order)."""
+        for i, n in enumerate(names):
+            self.scene.objects[n].state = states[i]
+        self.scene.floor = states[-2]
+        self.scene.env = states[-1]
+
     def _scene_step_fn(self, n_rungs, n_models, capacities, degrees,
                        trainable, guidance_on, c_batch, use_cn=False,
                        cap_mult=4):
@@ -607,6 +614,18 @@ class SceneTrainer:
         optp = optp or self.cfg.sceneOptimizationParams
         names = self._visible_names(only_env)
         states = self._states(names)
+        if self.mesh is not None and self.shard_splats:
+            # persist each model's params/Adam/aux tp-sharded (ZeRO-style
+            # memory scaling for the 1M-splat outdoor configs); the
+            # in-jit concat resharding to the contiguous concatenated
+            # layout is GSPMD's job. No-op when already laid out.
+            from dreamscene_tpu.parallel.sharded_render import (
+                shard_splat_state,
+            )
+
+            states = [shard_splat_state(self.mesh, s, logger)
+                      for s in states]
+            self._write_back_states(names, states)
         n_models = len(states)
         trainable = tuple(
             [scene_optim] * len(names)
