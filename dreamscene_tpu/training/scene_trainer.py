@@ -424,7 +424,15 @@ class SceneTrainer:
             return out
 
         mesh_render = None
-        if self.mesh is not None:
+        if self.mesh is not None and c_batch % self.mesh.shape["dp"] != 0:
+            # stage-3 refine drives PER-CAMERA recon steps (reference
+            # per-view L2 loop) — c_batch=1 cannot shard over dp>1, so
+            # those steps take the single-device loop path. Logged once
+            # per jit key; the FPS stages (c_batch=4) stay on the mesh.
+            logger.info(
+                "scene step c_batch=%d %% dp=%d != 0 — this step runs "
+                "the single-device path", c_batch, self.mesh.shape["dp"])
+        elif self.mesh is not None:
             from dreamscene_tpu.parallel.sharded_render import (
                 make_fps_camera_render,
             )
