@@ -59,6 +59,13 @@ TILE_PIX = TILE * TILE
 # throughput 2.98 -> 4.66 Mpix/s on-chip vs 16x16 (chunk 384), with
 # full-scale compiled parity green at both shapes.
 # Resolution order: explicit argument > DS_TILE_W/DS_TILE_H env > default.
+# NOTE: the env vars are read ONCE at import time (frozen here) — setting
+# them after `import dreamscene_tpu` has no effect, and every process of a
+# multi-process run must launch with the same values (the sharded-render
+# band-alignment asserts check DEFAULT_TILE_H). Upstream-bit-comparable
+# runs against the CUDA reference's fixed 16x16 getRect granularity must
+# set DS_TILE_W=16 DS_TILE_H=16 before import (the in-repo parity golden
+# is tile-parameterized; tests keep a 16x16-pinned leg).
 DEFAULT_TILE_W = int(os.environ.get("DS_TILE_W", "32"))
 DEFAULT_TILE_H = int(os.environ.get("DS_TILE_H", "16"))
 

@@ -111,8 +111,12 @@ _STUB_MATH = False
 # Replace the bwd kernel's [256, CHUNK] f32 divide (inv_q = 1/q) with
 # Mosaic's approximate reciprocal + ONE Newton step r' = r*(2 - q*r):
 # squares the ~2^-12 approx error to ~2^-24 (f32-class) at 3 cheap VPU
-# ops instead of a full-precision divide. A/B'd on chip.
-_APPROX_RECIP = _os.environ.get("DS_APPROX_RECIP", "0") == "1"
+# ops instead of a full-precision divide. Default ON since round 5: the
+# full-scale on-chip parity decider passed with it enabled (mid img
+# 7.0e-5 / grad_rel 3.7e-5, full-scale quantile gates green —
+# scripts/tpu_parity.py, 2026-08-20) and the solo A/B measured +1.5%
+# (4.76 vs 4.73 Mpix/s zero-drop). DS_APPROX_RECIP=0 reverts.
+_APPROX_RECIP = _os.environ.get("DS_APPROX_RECIP", "1") == "1"
 
 # NOTE (round-4 measured dead end): a factored (Horner-like) exponent
 # `dx*(nca*dx - cb*dy) + ncc*dy*dy` (9 -> 7 [256, CHUNK] VPU ops, the

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from dreamscene_tpu.ops.binning import TILE, bin_splats, cdiv, resolve_tile
+from dreamscene_tpu.ops.binning import bin_splats, cdiv, resolve_tile
 from dreamscene_tpu.ops.composite import (
     ACC_ROWS,
     N_LIVE_FIELDS,

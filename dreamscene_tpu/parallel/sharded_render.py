@@ -183,12 +183,28 @@ def shard_splat_state(mesh: Mesh, state, logger=None):
                 "replicated (no ZeRO memory scaling)", cap, n_tp)
         return state
 
-    def put(x):
-        splat_major = hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap
+    # classify splat-major leaves by FIELD NAME, not by a shape
+    # coincidence: a replicated leaf whose leading dim happens to equal a
+    # tiny test capacity (e.g. background [3] at cap=3) must stay
+    # replicated. Adam moments mirror the params tree, so the same final
+    # attribute name appears on their paths.
+    _REPLICATED_FIELDS = {"background", "count"}
+
+    def put_path(path, x):
+        name = None
+        for p in reversed(path):
+            key = getattr(p, "name", getattr(p, "key", None))
+            if key is not None:
+                name = key
+                break
+        splat_major = (
+            hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap
+            and name not in _REPLICATED_FIELDS
+        )
         spec = P("tp", *([None] * (x.ndim - 1))) if splat_major else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, state)
+    return jax.tree_util.tree_map_with_path(put_path, state)
 
 
 def make_fps_camera_render(mesh: Mesh, width: int, height: int,

@@ -100,11 +100,16 @@ class TestForwardParity:
         got = render(**scene, **kw, bg=BG, sh_degree=2, interpret=True)
         np.testing.assert_allclose(got["image"], ref["image"], atol=1e-5, rtol=1e-4)
 
-    @pytest.mark.parametrize("tw,th", [(32, 16), (16, 32), (32, 32)])
+    @pytest.mark.parametrize("tw,th", [(16, 16), (32, 16), (16, 32),
+                                       (32, 32)])
     def test_anisotropic_tiles_match_reference(self, tw, th):
         """Generalized (tile_w, tile_h) tiles (ROADMAP lead 1): the tile
         rect is the CONTRACT (compositing cuts splat tails at tile
-        granularity), so the golden takes the same tile shape."""
+        granularity), so the golden takes the same tile shape. The
+        (16, 16) leg is pinned on purpose: it is the upstream CUDA
+        reference's fixed getRect granularity, so upstream-bit-comparable
+        runs (DS_TILE_W=16 DS_TILE_H=16) stay covered even though the
+        package default moved to 32x16."""
         scene = make_scene(300, seed=7)
         cam = make_camera(96, 64)
         kw = camera_kwargs(cam)
