@@ -87,7 +87,14 @@ REC_WIDTH = 16
 A_R, A_G, A_B, A_DEPTH, A_T, A_LIVE = range(6)
 ACC_ROWS = 8
 
-NBUF = 4     # record-stream multi-buffering depth
+import os as _os_env
+
+NBUF = int(_os_env.environ.get("DS_NBUF", "4"))   # record-stream
+# multi-buffering depth (A/B gate, SOL.md lead 1)
+# backward grad-output buffering depth (SOL.md lead 1: the bwd kernel
+# runs 15.3 vs a ~11.5 ms floor; 2 output slots serialize every chunk's
+# store against the DMA two chunks back — 3 slots deepen the pipeline)
+OSLOTS = int(_os_env.environ.get("DS_BWD_OSLOTS", "2"))
 
 # NOTE (round-4 measured dead end): a 2x manual chunk-loop unroll
 # (two verbatim body copies + predicated odd epilogue, targeting the
@@ -557,13 +564,13 @@ def _bwd_kernel(
             live = hi_ref[u] < lo_ref[u]
 
         # output buffer: wait out the DMA that last used this slot
-        oslot = jax.lax.rem(u, 2)
+        oslot = jax.lax.rem(u, OSLOTS)
 
-        @pl.when(u >= 2)
+        @pl.when(u >= OSLOTS)
         def _():
             pltpu.make_async_copy(
                 obuf_ref.at[oslot],
-                grec_hbm.at[:, pl.ds((u - 2) * chunk, chunk)],
+                grec_hbm.at[:, pl.ds((u - OSLOTS) * chunk, chunk)],
                 osem_ref.at[oslot],
             ).wait()
 
@@ -674,14 +681,14 @@ def _bwd_kernel(
 
     _chunk_loop(n_u, body)
 
-    # drain the last two output DMAs (dynamic bound: grad rows for chunks
-    # >= n_u are never written — the VJP masks them by position instead)
-    for k in range(2):
+    # drain the last OSLOTS output DMAs (dynamic bound: grad rows for
+    # chunks >= n_u are never written — the VJP masks them by position)
+    for k in range(OSLOTS):
         u = n_u - 1 - k
 
         @pl.when(u >= 0)
         def _():
-            oslot = jax.lax.rem(u, 2)
+            oslot = jax.lax.rem(u, OSLOTS)
             pltpu.make_async_copy(
                 obuf_ref.at[oslot],
                 grec_hbm.at[:, pl.ds(u * chunk, chunk)],
@@ -747,8 +754,8 @@ def composite_backward(
             pltpu.VMEM((NBUF, 1, ACC_ROWS, tile_pix), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
             pltpu.VMEM((tile_pix, 8), jnp.float32),
-            pltpu.VMEM((2, REC_WIDTH, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((OSLOTS, REC_WIDTH, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((OSLOTS,)),
             pltpu.VMEM((N_MOM, tile_pix), jnp.float32),
         ],
     )
