@@ -330,7 +330,9 @@ def make_fps_camera_render(mesh: Mesh, width: int, height: int,
             min_d = jnp.where(any_empty, jnp.min(stats[:, 0]),
                               jnp.min(stats[:, 1]))
             max_disp = -jnp.min(stats[:, 2])
-            disp = jnp.clip((disp - min_d) / (max_disp - min_d), 0.0, 1.0)
+            disp = jnp.clip(
+                (disp - min_d) / jnp.maximum(max_disp - min_d, 1e-12),
+                0.0, 1.0)  # 0/0 guard: see rendering.py disparity note
             images.append(out["image"])
             disps.append(disp[None])
             alphas.append(out["alpha"][None])

@@ -87,7 +87,14 @@ def _postprocess(out, camera):
     min_d = jnp.where(
         jnp.any(empty), jnp.min(jnp.where(empty, disp, jnp.inf)), jnp.min(disp)
     )
-    disp = jnp.clip((disp - min_d) / (jnp.max(disp) - min_d), 0.0, 1.0)
+    # denominator guard: when every empty pixel is EXACTLY empty
+    # (depth=0, alpha=0 — e.g. capacity overflow dropped a region's
+    # entries), max(disp) == min_d to the last bit and the reference's
+    # unguarded divide (scene_gaussian.py:658,881) is 0/0 = NaN; the
+    # guard is exact whenever the denominator is healthy.
+    disp = jnp.clip(
+        (disp - min_d) / jnp.maximum(jnp.max(disp) - min_d, 1e-12),
+        0.0, 1.0)
     out["raw_depth"] = raw_depth
     out["depth"] = disp
     return out

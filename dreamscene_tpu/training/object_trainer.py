@@ -355,8 +355,10 @@ class ObjectTrainer:
                         jnp.min(disp),
                     )
                     disp = jnp.clip(
-                        (disp - min_d) / (jnp.max(disp) - min_d), 0.0, 1.0
-                    )
+                        (disp - min_d)
+                        / jnp.maximum(jnp.max(disp) - min_d, 1e-12),
+                        0.0, 1.0,
+                    )  # 0/0 guard: see rendering.py disparity note
                     images.append(out["image"])
                     depths.append(disp[None])
                     alphas.append(out["alpha"][None])

@@ -173,3 +173,23 @@ class TestCompressObjects:
         img_a = object_render(st, cam, test=True, interpret=True)["image"]
         img_b = object_render(st2, cam, test=True, interpret=True)["image"]
         assert float(jnp.mean(jnp.abs(img_a - img_b))) < 0.02
+
+
+class TestDisparityGuard:
+    def test_exactly_empty_region_yields_finite_disparity(self):
+        """0/0 regression (round-5 scene-dryrun NaN): when a region's
+        pixels are EXACTLY empty (no entries at all — here: a fully
+        inactive splat set), every empty pixel shares disp = focal/1e-5
+        bit-for-bit, so max(disp) == min_d and the reference's unguarded
+        normalize (scene_gaussian.py:658,881) returns NaN. The guarded
+        divide must return finite disparity (and zeros for the empty
+        region)."""
+        st = make_obj(40)
+        st = st.replace(aux=st.aux.replace(
+            active=jnp.zeros_like(st.aux.active)))
+        cam = make_camera(32, 32)
+        out = object_render(st, cam, bg_color=jnp.zeros(3), test=True,
+                            interpret=True)
+        assert np.isfinite(np.asarray(out["depth"])).all()
+        assert np.isfinite(np.asarray(out["alpha"])).all()
+        np.testing.assert_allclose(np.asarray(out["depth"]), 0.0, atol=1e-6)
