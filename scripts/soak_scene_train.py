@@ -28,7 +28,10 @@ STAGE1 = int(os.environ.get("SOAK_SCENE_STAGE1", 400))  # stage2 = STAGE1-300
 N_STAGE3 = int(os.environ.get("SOAK_SCENE_STAGE3", 3))
 OBJ_ITERS = int(os.environ.get("SOAK_SCENE_OBJ_ITERS", 150))
 IMG = int(os.environ.get("SOAK_SCENE_IMG", 512))
-ENV_DENSITY = float(os.environ.get("SOAK_SCENE_ENV_DENSITY", 0.25))
+# 0.08 lands the concatenated scene at ~300K splats — BASELINE.json
+# config #4's "300K indoor scene, room-scale trajectory training" scale
+# (the 8-device dryrun runs the same pipeline at 0.25 ~= 865K)
+ENV_DENSITY = float(os.environ.get("SOAK_SCENE_ENV_DENSITY", 0.08))
 EXP_ROOT = os.environ.get("SOAK_SCENE_EXP", "experiments")
 
 
