@@ -38,22 +38,40 @@ def main():
         idx = np.resize(idx, out_rows).astype(np.int32)
         return jnp.asarray(idx % src_rows)
 
-    @jax.jit
-    def gather(tab, idx):
-        return tab[idx]
-
-    for src in (1_450_000, 1_600_000, 1_750_000, 2_100_000):
+    # chain iterations so no dispatch can overlap or be elided: each
+    # round's table is perturbed by the previous result's first element
+    # (a scalar add — fused, ~free), and the loop runs IN ONE JIT via
+    # lax.scan so the tunnel's ~1.5 ms/execute tax drops out.
+    def bench(src, fn, label):
         tab = jnp.asarray(rng.randn(src, width).astype(np.float32))
         idx = make_idx(src)
-        gather(tab, idx).block_until_ready()
-        n = 30
+
+        @jax.jit
+        def run(tab, idx):
+            def body(carry, _):
+                r = fn(tab + carry, idx)
+                # full reduce: EVERY output row is consumed, so XLA
+                # cannot shrink the gather to the rows it can prove
+                # used (the first probe version read only r[0,0] and
+                # r[-1,-1] — DCE gathered 2 rows and reported 0.03 ms)
+                s = jnp.sum(r)
+                return s * 1e-30, s
+            _, outs = jax.lax.scan(body, 0.0, None, length=20)
+            return outs
+
+        run(tab, idx).block_until_ready()
         t0 = time.perf_counter()
-        for _ in range(n):
-            r = gather(tab, idx)
+        r = run(tab, idx)
         r.block_until_ready()
-        dt = (time.perf_counter() - t0) / n * 1e3
-        print(f"src={src:>9} out={out_rows} width={width}: {dt:.3f} ms "
-              f"({dt*1e6/src:.2f} ns/src-row, {dt*1e6/out_rows:.2f} ns/out-row)")
+        dt = (time.perf_counter() - t0) / 20 * 1e3
+        print(f"{label} src={src:>9} out={out_rows} width={width}: "
+              f"{dt:.3f} ms ({dt*1e6/src:.2f} ns/src-row, "
+              f"{dt*1e6/out_rows:.2f} ns/out-row)")
+
+    for src in (1_450_000, 1_600_000, 1_750_000, 2_100_000):
+        bench(src, lambda t, i: t[i], "gather")
+    # calibration: a streaming slice-copy of the same output bytes
+    bench(1_750_000, lambda t, i: t[:out_rows] * 1.0000001, "copy  ")
 
 
 if __name__ == "__main__":
