@@ -48,21 +48,29 @@ def main():
 
         @jax.jit
         def run(tab, idx):
-            def body(carry, _):
-                r = fn(tab + carry, idx)
-                # full reduce: EVERY output row is consumed, so XLA
-                # cannot shrink the gather to the rows it can prove
-                # used (the first probe version read only r[0,0] and
-                # r[-1,-1] — DCE gathered 2 rows and reported 0.03 ms)
+            src_rows = tab.shape[0]
+
+            def body(carry, k):
+                # iteration-DEPENDENT indices: v1 of this probe read only
+                # r[0,0]/r[-1,-1] (DCE shrank the gather to 2 rows); v2
+                # summed r but perturbed only the TABLE by a scalar, so
+                # sum((tab+c)[idx]) = sum(tab[idx]) + c*N and the gather
+                # hoisted out of the scan as loop-invariant. Rotating the
+                # index stream each iteration defeats both.
+                r = fn(tab, (idx + k) % src_rows)
                 s = jnp.sum(r)
-                return s * 1e-30, s
-            _, outs = jax.lax.scan(body, 0.0, None, length=20)
+                return carry + s, s
+            _, outs = jax.lax.scan(
+                body, 0.0, jnp.arange(20, dtype=jnp.int32))
             return outs
 
-        run(tab, idx).block_until_ready()
+        # device_get, not block_until_ready: the axon tunnel's async
+        # block returns EARLY for the 2nd+ heavy executable dispatched
+        # in one process (documented anomaly in bench.py measure());
+        # fetching the scan's output bytes cannot under-count.
+        np.asarray(run(tab, idx))
         t0 = time.perf_counter()
-        r = run(tab, idx)
-        r.block_until_ready()
+        r = np.asarray(run(tab, idx))
         dt = (time.perf_counter() - t0) / 20 * 1e3
         print(f"{label} src={src:>9} out={out_rows} width={width}: "
               f"{dt:.3f} ms ({dt*1e6/src:.2f} ns/src-row, "
