@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dreamscene_tpu.ops.binning import TILE, TILE_PIX  # noqa: F401 (legacy
+from dreamscene_tpu.ops.binning import TILE, TILE_PIX, cdiv  # noqa: F401 (legacy
 # square-tile constants; the kernels below are generalized to any
 # (tile_w, tile_h) shape — anisotropic 32x16 is the measured candidate
 # that cuts raw entries ~0.64x at 1.29x entry-pixel pairs, ROADMAP lead 1)
@@ -138,6 +138,35 @@ def _inv(q):
         return 1.0 / q
     r = pl.reciprocal(q, approx=True)
     return r * (2.0 - q * r)
+
+
+# Structural bwd restructure (SOL.md §6 lead 1): the backward kernel's
+# ~4 ms above-floor gap is its serial cross-chunk dependency chain — the
+# next chunk's math waits on this chunk's full replay (alpha chain ->
+# prefix -> t_new min-reduce) and on the [256, 4] rgbd accumulator
+# replay matmul. With DS_BWD_TCAR=1 the FORWARD stores each chunk's
+# incoming per-pixel transmittance (f32, bit-identical to what the
+# backward would replay) into a [n_chunks, tile_pix] HBM table (staged
+# through a double-buffered 16-row VMEM block, ~1 DMA per 16 chunks),
+# and the backward reads it instead of replaying: the rgbd replay
+# matmul, the per-chunk acc_dot reduction and the t_new min-reduce are
+# deleted, and the only cross-chunk carry left is one [tile_pix, 1] add
+# (the suffix-dot running total). The suffix term reassociates
+# (sum-of-chunk-totals instead of dot-of-accumulated-rgbd) — grads move
+# ~1e-6 relative; gated by the full-scale on-chip parity harness.
+#
+# MEASURED (2026-08-20, v5e, interleaved 2x2 A/B + trace): default ON at
+# +0.85% device-steady (on 4.809/4.832 vs off 4.787/4.771 Mpix/s;
+# full-scale parity green: mid img 7.0e-5 / grad_rel 3.7e-5). The trace
+# shows the win is EXACTLY the deleted ops — bwd 15.3 -> 14.0 ms, fwd
+# 8.4 -> 9.2 ms (the per-chunk [tile_pix,1]->[1,tile_pix] staging
+# relayout) — i.e. breaking the cross-chunk serial dependency bought
+# ZERO additional scheduling overlap: Mosaic does not software-pipeline
+# across fori_loop iterations, so the bwd kernel's remaining ~2.5 ms
+# above-floor gap is WITHIN-chunk schedule quality, closing SOL.md §6
+# lead 1 (no cheap lever; the dependency-chain hypothesis is dead).
+TCAR_BLK = 16   # staging rows per tcar DMA block
+_BWD_TCAR = _os.environ.get("DS_BWD_TCAR", "1") == "1"
 
 
 # NOTE (round-4 measured dead end): computing `power` as a pixel-moment
@@ -260,7 +289,7 @@ def _blocked_prefix(z, inclusive):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
-def _chunk_alpha(rec, px, py, t_carry_col, lo, hi):
+def _chunk_alpha(rec, px, py, t_carry_col, lo, hi, compute_tnew=True):
     """Shared forward math for one chunk, pixels-on-sublanes layout.
 
     Args:
@@ -297,16 +326,18 @@ def _chunk_alpha(rec, px, py, t_carry_col, lo, hi):
     t_incl = t_carry_col * p_incl                    # T after entry g
     applied = (t_incl >= TRANSMITTANCE_EPS).astype(jnp.float32)
     contrib = t_excl * alpha * applied               # blend weight w[p, g]
-    # new per-pixel transmittance (min handles the no-applied case)
-    t_new = jnp.minimum(
-        t_carry_col,
-        jnp.min(jnp.where(applied > 0, t_incl, t_carry_col), axis=1,
-                keepdims=True),
-    )                                                # [256, 1]
-    return dict(
+    out = dict(
         raw=raw, alpha=alpha, q=q,
-        t_excl=t_excl, applied=applied, contrib=contrib, t_new=t_new,
+        t_excl=t_excl, applied=applied, contrib=contrib,
     )
+    if compute_tnew:
+        # new per-pixel transmittance (min handles the no-applied case)
+        out["t_new"] = jnp.minimum(
+            t_carry_col,
+            jnp.min(jnp.where(applied > 0, t_incl, t_carry_col), axis=1,
+                    keepdims=True),
+        )                                            # [256, 1]
+    return out
 
 
 def _cd_rows(rec):
@@ -325,12 +356,17 @@ def _fwd_kernel(
     tile_ref, s0_ref, lo_ref, hi_ref, first_ref, uused_ref,
     # inputs
     rec_hbm,
-    # outputs
-    out_ref,
-    # scratch
-    acc_ref, buf_ref, sem_ref,
-    *, tiles_x, chunk, tile_w, tile_h,
+    # outputs (+ optional tcar_hbm), then scratch — layout depends on
+    # emit_tcar, so unpack positionally
+    *rest,
+    tiles_x, chunk, tile_w, tile_h, emit_tcar=False,
 ):
+    if emit_tcar:
+        (out_ref, tcar_hbm, acc_ref, buf_ref, sem_ref,
+         tstage_ref, tsem2_ref) = rest
+    else:
+        out_ref, acc_ref, buf_ref, sem_ref = rest
+        tcar_hbm = tstage_ref = tsem2_ref = None
     # acc_ref holds the tile state COLUMN-form [tile_pix, 8] (pixels on
     # sublanes) so the per-chunk math needs no vector transposes; the
     # row-form [8, tile_pix] conversion happens once per tile at flush.
@@ -350,6 +386,13 @@ def _fwd_kernel(
             rec_hbm.at[:, pl.ds(pl.multiple_of(s0_ref[u], 128), chunk)],
             buf_ref.at[slot],
             sem_ref.at[slot],
+        )
+
+    def tcar_dma(s, b):
+        return pltpu.make_async_copy(
+            tstage_ref.at[s],
+            tcar_hbm.at[pl.ds(b * TCAR_BLK, TCAR_BLK)],
+            tsem2_ref.at[s],
         )
 
     # prologue: fill the pipeline
@@ -372,6 +415,24 @@ def _fwd_kernel(
         def _():
             acc_ref[...] = jnp.zeros((tile_pix, ACC_ROWS), jnp.float32)
             acc_ref[:, A_T:A_T + 1] = jnp.ones((tile_pix, 1), jnp.float32)
+
+        if emit_tcar:
+            # record T INTO this chunk (post tile-reset, pre math) in a
+            # double-buffered 16-row staging block; one DMA per block
+            blk = jax.lax.div(u, TCAR_BLK)
+            off = jax.lax.rem(u, TCAR_BLK)
+            s2 = jax.lax.rem(blk, 2)
+
+            @pl.when(jnp.logical_and(off == 0, blk >= 2))
+            def _():
+                tcar_dma(s2, blk - 2).wait()
+
+            tstage_ref[s2, pl.ds(off, 1)] = jnp.transpose(
+                acc_ref[:, A_T:A_T + 1], (1, 0))
+
+            @pl.when(jnp.logical_or(off == TCAR_BLK - 1, u == n_u - 1))
+            def _():
+                tcar_dma(s2, blk).start()
 
         # live gate on the PREFETCHED window only: an earlier version
         # also skipped chunks once every pixel saturated
@@ -410,10 +471,20 @@ def _fwd_kernel(
 
     _chunk_loop(n_u, body)
 
+    if emit_tcar:
+        # drain the last <=2 in-flight staging DMAs (started at blocks
+        # nblk-2 and nblk-1; blocks before that were waited in-loop)
+        nblk = jax.lax.div(n_u + TCAR_BLK - 1, TCAR_BLK)
+        for k in (2, 1):
+            @pl.when(nblk >= k)
+            def _():
+                b = nblk - k
+                tcar_dma(jax.lax.rem(b, 2), b).wait()
+
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "tiles_x", "chunk", "interpret",
-                              "tile_w", "tile_h")
+                              "tile_w", "tile_h", "emit_tcar")
 )
 def composite_forward(
     records_t: jnp.ndarray,     # [REC_WIDTH, cap_pad] f32, field-major sorted
@@ -429,41 +500,62 @@ def composite_forward(
     interpret: bool = False,
     tile_w: int = 16,
     tile_h: int = 16,
+    emit_tcar: bool = False,
 ):
+    """Returns the tile accumulators; with emit_tcar also the per-chunk
+    incoming-transmittance table [nblk*TCAR_BLK, tile_pix] (rows >= the
+    live chunk count are garbage — the backward never reads them)."""
     n_chunks = chunk_tile.shape[0]
     tile_pix = tile_w * tile_h
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk,
-                               tile_w=tile_w, tile_h=tile_h)
+                               tile_w=tile_w, tile_h=tile_h,
+                               emit_tcar=emit_tcar)
+
+    out_specs = [
+        pl.BlockSpec(
+            (n_tiles + 1, ACC_ROWS, tile_pix),
+            lambda i, *_: (0, 0, 0),
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles + 1, ACC_ROWS, tile_pix), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((tile_pix, ACC_ROWS), jnp.float32),
+        pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+    if emit_tcar:
+        nblk = cdiv(n_chunks, TCAR_BLK)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nblk * TCAR_BLK, tile_pix), jnp.float32))
+        scratch += [
+            pltpu.VMEM((2, TCAR_BLK, tile_pix), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec(
-                (n_tiles + 1, ACC_ROWS, tile_pix),
-                lambda i, *_: (0, 0, 0),
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_pix, ACC_ROWS), jnp.float32),
-            pltpu.VMEM((NBUF, REC_WIDTH, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    (out,) = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles + 1, ACC_ROWS, tile_pix), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            has_side_effects=emit_tcar,
         ),
         interpret=interpret,
     )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first,
       n_chunks_used.reshape(1), records_t)
-    return out
+    if emit_tcar:
+        return res[0], res[1]
+    return res[0]
 
 
 # --------------------------------------------------------------------------
@@ -473,16 +565,22 @@ def composite_forward(
 def _bwd_kernel(
     # scalar prefetch
     tile_ref, s0_ref, lo_ref, hi_ref, first_ref, tord_ref, uused_ref,
-    # inputs
-    rec_hbm, final_hbm, grad_hbm,
-    # outputs
-    grec_hbm,
-    # scratch
-    acc_ref, buf_ref, sem_ref,
-    fbuf_ref, gbuf_ref, tsem_ref,
-    col_ref, obuf_ref, osem_ref, mom_ref,
-    *, tiles_x, chunk, tile_w, tile_h,
+    # inputs: rec_hbm, final_hbm, grad_hbm, (tcar_ref if use_tcar);
+    # outputs: grec_hbm; then scratch — unpack positionally
+    *rest,
+    tiles_x, chunk, tile_w, tile_h, use_tcar=False,
 ):
+    if use_tcar:
+        (rec_hbm, final_hbm, grad_hbm, tcar_ref, grec_hbm,
+         acc_ref, buf_ref, sem_ref,
+         fbuf_ref, gbuf_ref, tsem_ref,
+         col_ref, obuf_ref, osem_ref, mom_ref) = rest
+    else:
+        (rec_hbm, final_hbm, grad_hbm, grec_hbm,
+         acc_ref, buf_ref, sem_ref,
+         fbuf_ref, gbuf_ref, tsem_ref,
+         col_ref, obuf_ref, osem_ref, mom_ref) = rest
+        tcar_ref = None
     # acc_ref is COLUMN-form [tile_pix, 8] (pixels on sublanes); col_ref
     # caches the tile's cotangent/final rows transposed to column form once
     # per tile: cols 0..3 g_rgbd, 4 g_t, 5 t_final, 6 (c_final . g_rgbd).
@@ -546,18 +644,26 @@ def _bwd_kernel(
             f, g = tile_dmas(u)
             f.wait()
             g.wait()
-            acc_ref[...] = jnp.zeros((tile_pix, ACC_ROWS), jnp.float32)
-            acc_ref[:, A_T:A_T + 1] = jnp.ones((tile_pix, 1), jnp.float32)
             gcol = jnp.transpose(gbuf_ref[ts, 0], (1, 0))     # [tile_pix, 8]
             fcol = jnp.transpose(fbuf_ref[ts, 0], (1, 0))
             cfg = jnp.sum(
                 fcol[:, A_R:A_DEPTH + 1] * gcol[:, A_R:A_DEPTH + 1],
                 axis=1, keepdims=True,
             )                                                 # [256, 1]
-            col_ref[:, 0:4] = gcol[:, A_R:A_DEPTH + 1]
-            col_ref[:, 4:5] = gcol[:, A_T:A_T + 1]
-            col_ref[:, 5:6] = fcol[:, A_T:A_T + 1]
-            col_ref[:, 6:7] = cfg
+            if use_tcar:
+                # single cross-chunk carry: the suffix-dot running total
+                acc_ref[:, 0:1] = jnp.zeros((tile_pix, 1), jnp.float32)
+                # ccar = (c_final . g_rgbd) + g_T * T_final — the g_T
+                # term folded in so the live branch saves two
+                # [tile_pix, CHUNK] ops (see galpha below)
+                col_ref[:, 6:7] = cfg + gcol[:, A_T:A_T + 1] * fcol[:, A_T:A_T + 1]
+            else:
+                acc_ref[...] = jnp.zeros((tile_pix, ACC_ROWS), jnp.float32)
+                acc_ref[:, A_T:A_T + 1] = jnp.ones((tile_pix, 1), jnp.float32)
+                col_ref[:, 0:4] = gcol[:, A_R:A_DEPTH + 1]
+                col_ref[:, 4:5] = gcol[:, A_T:A_T + 1]
+                col_ref[:, 5:6] = fcol[:, A_T:A_T + 1]
+                col_ref[:, 6:7] = cfg
 
         live = hi_ref[u] > lo_ref[u]   # scalar-only gate, see _fwd_kernel
         if _STUB_MATH:
@@ -581,16 +687,21 @@ def _bwd_kernel(
             rec = buf_ref[slot]
             x0, y0 = _tile_xy0(t, tiles_x, tile_w, tile_h)
             px, py = _pixel_coords(x0, y0, tile_w, tile_h)
-            t_carry_col = acc_ref[:, A_T:A_T + 1]
-            v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u])
+            if use_tcar:
+                # T into this chunk, stored by the forward (bit-identical
+                # to the replayed value) — the serial T recurrence is gone
+                t_carry_col = jnp.transpose(
+                    tcar_ref[pl.ds(u, 1), :], (1, 0))         # [256, 1]
+            else:
+                t_carry_col = acc_ref[:, A_T:A_T + 1]
+            v = _chunk_alpha(rec, px, py, t_carry_col, lo_ref[u], hi_ref[u],
+                             compute_tnew=not use_tcar)
             alpha, contrib, applied = v["alpha"], v["contrib"], v["applied"]
             q, t_excl = v["q"], v["t_excl"]
 
             cd = _cd_rows(rec)                                # [4, CHUNK]
 
             g_rgbd = gbuf_ref[ts, 0, A_R:A_DEPTH + 1, :]      # [4, 256]
-            g_t_col = col_ref[:, 4:5]                         # [256, 1]
-            t_final_col = col_ref[:, 5:6]
 
             # dL/dcolor_g (and depth): w_g . g_ch  -> [4, CHUNK]
             gcd = _split_dot2(g_rgbd, contrib)
@@ -605,21 +716,31 @@ def _bwd_kernel(
             prefix_dot = _blocked_prefix(
                 contrib * cg_dot, inclusive=True
             )                                                 # [256, CHUNK]
-            acc_dot = jnp.sum(
-                acc_ref[:, A_R:A_DEPTH + 1] * col_ref[:, 0:4],
-                axis=1, keepdims=True,
-            )                                                 # [256, 1]
-            sdotg = (col_ref[:, 6:7] - acc_dot) - prefix_dot
-            # replayed accumulator update (same matmul as the forward)
-            acc_ref[:, A_R:A_DEPTH + 1] += _split_dot2(
-                contrib, cd, (((1,), (1,)), ((), ()))
-            )
-
             inv_q = _inv(q)
-            galpha = (
-                t_excl * cg_dot - sdotg * inv_q
-                - g_t_col * t_final_col * inv_q
-            )
+            if use_tcar:
+                # suffix via the running per-chunk total instead of the
+                # replayed [256, 4] accumulator: deletes the rgbd replay
+                # matmul and the per-chunk acc_dot reduction; the only
+                # cross-chunk dependency is the [256, 1] carry add below
+                scol = col_ref[:, 6:7] - acc_ref[:, 0:1]      # [256, 1]
+                galpha = t_excl * cg_dot - (scol - prefix_dot) * inv_q
+                acc_ref[:, 0:1] += prefix_dot[:, chunk - 1:chunk]
+            else:
+                g_t_col = col_ref[:, 4:5]                     # [256, 1]
+                t_final_col = col_ref[:, 5:6]
+                acc_dot = jnp.sum(
+                    acc_ref[:, A_R:A_DEPTH + 1] * col_ref[:, 0:4],
+                    axis=1, keepdims=True,
+                )                                             # [256, 1]
+                sdotg = (col_ref[:, 6:7] - acc_dot) - prefix_dot
+                # replayed accumulator update (same matmul as the forward)
+                acc_ref[:, A_R:A_DEPTH + 1] += _split_dot2(
+                    contrib, cd, (((1,), (1,)), ((), ()))
+                )
+                galpha = (
+                    t_excl * cg_dot - sdotg * inv_q
+                    - g_t_col * t_final_col * inv_q
+                )
             galpha = galpha * applied * (alpha > 0.0).astype(jnp.float32)
 
             # through alpha = min(0.99, opa*exp(power))
@@ -661,7 +782,8 @@ def _bwd_kernel(
             g_cb = -(mxc * myc * G0 - mxc * G2 - myc * G1 + G5)
             g_cc = -0.5 * (myc * myc * G0 - 2.0 * myc * G2 + G4)
 
-            acc_ref[:, A_T:A_T + 1] = v["t_new"]
+            if not use_tcar:
+                acc_ref[:, A_T:A_T + 1] = v["t_new"]
 
             # row order must match the record layout F_MX..F_DEPTH (0..9)
             obuf_ref[oslot] = jnp.concatenate(
@@ -729,22 +851,34 @@ def composite_backward(
     interpret: bool = False,
     tile_w: int = 16,
     tile_h: int = 16,
+    tcar: jnp.ndarray | None = None,  # [nblk*TCAR_BLK, tile_pix] from fwd
 ):
     n_chunks = chunk_tile.shape[0]
     tile_pix = tile_w * tile_h
+    use_tcar = tcar is not None
     # tile ordinal of each chunk (selects the tile-state buffer slot)
     tord = jnp.cumsum(chunk_first[:-1]) - 1
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, chunk=chunk,
-                               tile_w=tile_w, tile_h=tile_h)
+                               tile_w=tile_w, tile_h=tile_h,
+                               use_tcar=use_tcar)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [records_t, final_accums, grad_accums]
+    if use_tcar:
+        # whole table VMEM-resident (~7 MB at bench scale; the bwd's
+        # other VMEM use is small) — one pipeline copy, then per-chunk
+        # dynamic-sublane row reads
+        in_specs.append(pl.BlockSpec(tcar.shape, lambda i, *_: (0, 0)))
+        inputs.append(tcar)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((tile_pix, ACC_ROWS), jnp.float32),
@@ -771,5 +905,5 @@ def composite_backward(
         ),
         interpret=interpret,
     )(chunk_tile, chunk_s0, chunk_lo, chunk_hi, chunk_first, tord,
-      n_chunks_used.reshape(1), records_t, final_accums, grad_accums)
+      n_chunks_used.reshape(1), *inputs)
     return grec_t

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from dreamscene_tpu.ops.binning import bin_splats, cdiv, resolve_tile
+from dreamscene_tpu.ops import composite as _composite
 from dreamscene_tpu.ops.composite import (
     ACC_ROWS,
     N_LIVE_FIELDS,
@@ -129,22 +130,35 @@ def _gather_composite_fwd(rec_n, inv_perm, gid_pad, pos_of_entry,
                           surv, seg_starts, chunks, n_tiles, tiles_x, chunk,
                           tile_w, tile_h, interpret):
     records_t = _gather(rec_n, gid_pad)
-    out = composite_forward(
-        records_t, *chunks,
-        n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
-        tile_w=tile_w, tile_h=tile_h, interpret=interpret,
-    )
+    if _composite._BWD_TCAR:
+        # forward also emits the per-chunk incoming-transmittance table
+        # so the backward kernel skips the serial cross-chunk replay
+        # (composite.py DS_BWD_TCAR)
+        out, tcar = composite_forward(
+            records_t, *chunks,
+            n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
+            tile_w=tile_w, tile_h=tile_h, interpret=interpret,
+            emit_tcar=True,
+        )
+    else:
+        out = composite_forward(
+            records_t, *chunks,
+            n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
+            tile_w=tile_w, tile_h=tile_h, interpret=interpret,
+        )
+        tcar = None
     return out, (records_t, chunks, out, inv_perm, pos_of_entry, surv,
-                 seg_starts)
+                 seg_starts, tcar)
 
 
 def _gather_composite_bwd(n_tiles, tiles_x, chunk, tile_w, tile_h,
                           interpret, res, g_out):
-    records_t, chunks, out, inv_perm, pos_of_entry, surv, seg_starts = res
+    (records_t, chunks, out, inv_perm, pos_of_entry, surv, seg_starts,
+     tcar) = res
     grec_t = composite_backward(
         records_t, *chunks,
         out, g_out, n_tiles=n_tiles, tiles_x=tiles_x, chunk=chunk,
-        tile_w=tile_w, tile_h=tile_h, interpret=interpret,
+        tile_w=tile_w, tile_h=tile_h, interpret=interpret, tcar=tcar,
     )                                             # [16, n_chunks*chunk]
     # Gather formulation (measured on-chip, v5e, round-2 trace): ONE
     # exact f32 row gather (7.7 ms at 1.2M output rows). The earlier

@@ -53,3 +53,58 @@ def test_caps_via_sort_identical(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(x), np.asarray(z), err_msg=name + " unpacked")
 
+
+
+def test_bwd_tcar_grads_match_default(monkeypatch):
+    """DS_BWD_TCAR (forward-stored per-chunk transmittance, serial-free
+    backward — composite.py) must reproduce the default backward: the
+    stored T is bit-identical to the replayed one, so the only drift is
+    the suffix-dot reassociation (sum-of-chunk-totals vs accumulated-rgbd
+    dot) — measured <=4e-5 of the max-gradient scale on this scene
+    (cancellation amplifies the ~2^-21 split-dot rounding class; the
+    full-scale on-chip quantile gates in scripts/tpu_parity.py are the
+    deciding check). Images must be bit-exact (forward math unchanged).
+    Runs both tile shapes to cover the exact- and split-moment bwd
+    paths."""
+    import jax
+
+    import dreamscene_tpu.ops.composite as composite
+    from dreamscene_tpu.ops.rasterizer import render
+
+    scene = make_scene(n=250, seed=5)
+    cam = make_camera(64, 48)
+    rng = np.random.RandomState(9)
+    target = jnp.asarray(rng.rand(3, 48, 64).astype(np.float32))
+    bg = jnp.zeros((3,), jnp.float32)
+
+    kw = dict(
+        viewmatrix=jnp.asarray(cam.world_view_transform),
+        projmatrix=jnp.asarray(cam.full_proj_transform),
+        campos=jnp.asarray(cam.camera_center),
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        width=cam.width, height=cam.height,
+    )
+
+    for tw, th in [(16, 16), (32, 16)]:
+        def loss(s):
+            out = render(**s, **kw, bg=bg, sh_degree=2, interpret=True,
+                         tile_w=tw, tile_h=th)
+            return (jnp.mean((out["image"] - target) ** 2)
+                    + 0.1 * jnp.mean(out["depth"])
+                    + 0.05 * jnp.mean(out["alpha"])), out["image"]
+
+        monkeypatch.setattr(composite, "_BWD_TCAR", False)
+        (l_a, img_a), g_a = jax.value_and_grad(loss, has_aux=True)(scene)
+        monkeypatch.setattr(composite, "_BWD_TCAR", True)
+        (l_b, img_b), g_b = jax.value_and_grad(loss, has_aux=True)(scene)
+
+        np.testing.assert_array_equal(
+            np.asarray(img_a), np.asarray(img_b),
+            err_msg=f"image drift at {tw}x{th}")
+        for key in ["means3d", "scales", "quats", "opacities", "shs"]:
+            ref_g = np.asarray(g_a[key])
+            got_g = np.asarray(g_b[key])
+            scale = np.abs(ref_g).max() + 1e-8
+            np.testing.assert_allclose(
+                got_g / scale, ref_g / scale, atol=1e-4,
+                err_msg=f"tcar gradient mismatch for {key} at {tw}x{th}")
