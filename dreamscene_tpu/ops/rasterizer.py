@@ -50,6 +50,22 @@ from dreamscene_tpu.ops.gather import u16_row_gather as _u16_row_gather
 # to feed packed tables. The tree keeps single paths.
 
 
+import os as _os
+
+# The r4 blocked-index gather (_gathered_blocked_cumsum) was built to
+# stop XLA materializing a [1.2M, 10] -> [nb, 128, 10] relayout after
+# the grad gather (measured 0.86 ms saved at 16x16/chunk 384). The r5
+# HLO at 32x16/chunk 512 shows XLA now RE-INSERTS that relayout anyway
+# (reshape.318, 1.02 ms: gather emits [1425024,10]{0,1}, reshape to
+# [11133,128,10]{1,0,2}) — so the flat formulation (plain row gather +
+# two-level blocked cumsum, bit-identical math — pinned by
+# tests/test_gated_variants.py) went back on chip and WON: interleaved
+# A/B device-steady 4.875/4.873 (on) vs 4.825 (off; a fourth leg
+# anomalied at 1.5 and was discarded) = +1.0%. Default ON since r5;
+# DS_FLAT_VJP_CUMSUM=0 reverts to the blocked-index form.
+_FLAT_VJP_CUMSUM = _os.environ.get("DS_FLAT_VJP_CUMSUM", "1") == "1"
+
+
 def _gathered_blocked_cumsum(g10, pos_safe, zero_col, block=128):
     """rows = transpose(g10)[pos_safe], then blocked inclusive cumsum
     over axis 0 — with the [nb, block] index pre-shaping done BEFORE the
@@ -189,7 +205,10 @@ def _gather_composite_bwd(n_tiles, tiles_x, chunk, tile_w, tile_h,
     # rows), so one boundary gather at starts-1 yields both segment
     # ends — top[r] = bot[r+1] — instead of separate top/bot gathers
     # (each ~1.4-1.9ms at 300K rows on v5e).
-    csum = _gathered_blocked_cumsum(g10, pos_safe, u_used * chunk)
+    if _FLAT_VJP_CUMSUM:
+        csum = _blocked_cumsum(jnp.transpose(g10)[pos_safe], 128)
+    else:
+        csum = _gathered_blocked_cumsum(g10, pos_safe, u_used * chunk)
     bot = jnp.where(
         (seg_starts > 0)[:, None],
         csum[jnp.clip(seg_starts - 1, 0, capacity - 1)],

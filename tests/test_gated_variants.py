@@ -108,3 +108,41 @@ def test_bwd_tcar_grads_match_default(monkeypatch):
             np.testing.assert_allclose(
                 got_g / scale, ref_g / scale, atol=1e-4,
                 err_msg=f"tcar gradient mismatch for {key} at {tw}x{th}")
+
+
+def test_flat_vjp_cumsum_identical(monkeypatch):
+    """DS_FLAT_VJP_CUMSUM (plain flat grad-row gather + two-level blocked
+    cumsum) performs the SAME adds as the blocked-index gather
+    formulation — same 128-blocking, zero pad rows vs gathered structural
+    zero column — so parameter gradients must match bit-exactly."""
+    import jax
+
+    import dreamscene_tpu.ops.rasterizer as rasterizer
+    from dreamscene_tpu.ops.rasterizer import render
+
+    scene = make_scene(n=250, seed=7)
+    cam = make_camera(48, 48)
+    rng = np.random.RandomState(3)
+    target = jnp.asarray(rng.rand(3, 48, 48).astype(np.float32))
+    bg = jnp.zeros((3,), jnp.float32)
+
+    kw = dict(
+        viewmatrix=jnp.asarray(cam.world_view_transform),
+        projmatrix=jnp.asarray(cam.full_proj_transform),
+        campos=jnp.asarray(cam.camera_center),
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        width=cam.width, height=cam.height,
+    )
+
+    def loss(s):
+        out = render(**s, **kw, bg=bg, sh_degree=2, interpret=True)
+        return jnp.mean((out["image"] - target) ** 2)
+
+    monkeypatch.setattr(rasterizer, "_FLAT_VJP_CUMSUM", False)
+    g_a = jax.grad(loss)(scene)
+    monkeypatch.setattr(rasterizer, "_FLAT_VJP_CUMSUM", True)
+    g_b = jax.grad(loss)(scene)
+    for key in ["means3d", "scales", "quats", "opacities", "shs"]:
+        np.testing.assert_array_equal(
+            np.asarray(g_a[key]), np.asarray(g_b[key]),
+            err_msg=f"flat-cumsum gradient drift for {key}")
