@@ -27,6 +27,7 @@ traces into one XLA program — there is no renderer/guidance device split
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Any, Callable, NamedTuple
 
 import numpy as np
@@ -482,7 +483,10 @@ def make_tiny_guidance(guidance_opt, latent_channels: int = 4,
         rows = []
         for p in prompts:
             if p not in emb_cache:
-                h = abs(hash(p)) % (2**31)
+                # stable across processes: Python's str hash() is salted
+                # by PYTHONHASHSEED, which made tiny-guidance runs (and
+                # the multichip dryrun's loss) non-reproducible
+                h = zlib.crc32(p.encode("utf-8")) % (2**31)
                 emb_cache[p] = np.random.default_rng(h).normal(
                     size=(token_len, ucfg.cross_attention_dim)
                 ).astype(np.float32)
